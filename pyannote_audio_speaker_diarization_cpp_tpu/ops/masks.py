@@ -1,0 +1,107 @@
+"""Mask preparation for the masked-embedding stage, fully vectorized.
+
+Re-design of the reference's host loops (pipeline/src/speakerDiarizer.cpp):
+  - cleanSegmentations  :710-743  (zero out frames with overlapping speech)
+  - interpolate         :745-768  (nearest-neighbor mask upsampling 293->80000)
+  - padSequence         :769-799  (left-pack speech samples, zero pad)
+  - wav_lens handling in getEmbedding :2436-2510
+Python originals: segment/segment.py:179-215, :283-303.
+
+Everything is static-shape jnp: the left-pack is a stable argsort on the
+boolean mask (kept samples keep their time order and move to the front),
+which XLA lowers to an on-device sort — no ragged tensors.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def clean_segmentations(binarized: jnp.ndarray) -> jnp.ndarray:
+    """(num_chunks, num_frames, num_speakers) -> same, overlap frames zeroed.
+
+    Keep a frame iff fewer than 2 speakers are active in it
+    (segment/segment.py:179-181).
+    """
+    clean = (jnp.sum(binarized, axis=2, keepdims=True) < 2).astype(binarized.dtype)
+    return binarized * clean
+
+
+def choose_masks(
+    binarized: jnp.ndarray,
+    cleaned: jnp.ndarray,
+    min_num_frames: float,
+) -> jnp.ndarray:
+    """Per (chunk, speaker): use the clean mask when it retains enough frames,
+    else fall back to the raw binarized mask (speakerDiarizer.cpp:3056-3078).
+
+    Inputs are (num_chunks, num_frames, num_speakers); output is
+    (num_chunks, num_speakers, num_frames) — one mask row per embedding.
+    """
+    clean_sum = jnp.sum(cleaned, axis=1)  # (chunks, speakers)
+    use_clean = (clean_sum > min_num_frames)[:, None, :]
+    chosen = jnp.where(use_clean, cleaned, binarized)
+    chosen = jnp.nan_to_num(chosen)
+    return jnp.transpose(chosen, (0, 2, 1))
+
+
+def interpolate_nearest(masks: jnp.ndarray, num_samples: int) -> jnp.ndarray:
+    """(batch, num_frames) -> (batch, num_samples) nearest-neighbor upsample.
+
+    Matches torch F.interpolate(mode="nearest") as used at
+    segment/segment.py:283-287: out[i] = in[floor(i * in_size / out_size)].
+    """
+    num_frames = masks.shape[-1]
+    src = (jnp.arange(num_samples) * num_frames) // num_samples
+    return masks[..., src]
+
+
+def left_pack(waveforms: jnp.ndarray, imasks: jnp.ndarray) -> jnp.ndarray:
+    """Gather samples where imask is set, left-packed, zero-padded.
+
+    Equivalent to ``pad_sequence([w[m] for w, m in zip(wavs, masks)])`` padded
+    to the full window (segment/segment.py:289-292), as a stable sort: sort
+    each row by (1 - mask) — kept samples move to the front preserving order —
+    then zero the tail.
+    """
+    keep = imasks > 0.5
+    order = jnp.argsort(~keep, axis=-1, stable=True)
+    packed = jnp.take_along_axis(waveforms, order, axis=-1)
+    kept_sorted = jnp.take_along_axis(keep, order, axis=-1)
+    return jnp.where(kept_sorted, packed, 0.0)
+
+
+def pack_and_lengths(
+    waveforms: jnp.ndarray,
+    masks: jnp.ndarray,
+    mask_threshold: float,
+    min_num_samples: int,
+):
+    """Full embedding-preprocessing step for a batch of (chunk, speaker) rows.
+
+    Parameters
+    ----------
+    waveforms : (batch, num_samples) cropped 5 s windows
+    masks : (batch, num_frames) chosen per-speaker frame masks
+
+    Returns
+    -------
+    signals : (batch, num_samples) left-packed speech samples
+    wav_lens : (batch,) relative lengths for the embedding model, normalized
+        by the padded window size (num_samples). The reference normalizes by
+        the batch max length (speakerDiarizer.cpp:2467-2510) because torch
+        pad_sequence pads to the batch max; our fixed-shape batch is padded to
+        the full window, so window-relative lengths put the feature-frame mask
+        at the same absolute boundary (round(rel*T) covers exactly the packed
+        speech region — see ops/frontend.py).
+    too_short : (batch,) bool — rows with fewer than min_num_samples kept
+        samples; their embeddings must be replaced by NaN downstream
+        (segment/segment.py:298-303).
+    """
+    num_samples = waveforms.shape[-1]
+    imasks = interpolate_nearest(masks, num_samples) > mask_threshold
+    signals = left_pack(waveforms, imasks.astype(waveforms.dtype))
+    lens = jnp.sum(imasks, axis=-1)
+    too_short = lens < min_num_samples
+    wav_lens = jnp.where(too_short, 1.0, lens / num_samples)
+    return signals, wav_lens, too_short
