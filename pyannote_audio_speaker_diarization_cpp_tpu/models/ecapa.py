@@ -1,0 +1,208 @@
+"""ECAPA-TDNN speaker-embedding model (speechbrain topology), functional JAX.
+
+This is the TPU-native re-design of the model behind the reference's
+``emd4.onnx`` (exported from speechbrain/spkrec-ecapa-voxceleb by reference
+embeddings/export3.py:560-627; standalone architecture description at
+embeddings/ECAPA-TDNN.py:7-142). Defaults mirror the speechbrain VoxCeleb
+recipe: channels 1024, res2net scale 8, SE 128, attentive-stats pooling with
+global context, 192-d embedding. The ``lengths`` argument reproduces
+speechbrain's masking everywhere it is used (SE mean, ASP statistics and
+attention softmax) so masked variable-length pooling works with fully static
+shapes — no ragged tensors, no host round-trips.
+
+All convolutions are stride-1 "same" with reflect padding (speechbrain
+Conv1d default); BatchNorm runs in inference mode off running statistics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from . import layers as L
+
+
+@dataclasses.dataclass(frozen=True)
+class EcapaConfig:
+    in_channels: int = 80
+    channels: Sequence[int] = (1024, 1024, 1024, 1024, 3072)
+    kernel_sizes: Sequence[int] = (5, 3, 3, 3, 1)
+    dilations: Sequence[int] = (1, 2, 3, 4, 1)
+    attention_channels: int = 128
+    res2net_scale: int = 8
+    se_channels: int = 128
+    global_context: bool = True
+    emb_dim: int = 192
+    eps: float = 1e-12  # ASP statistics clamp
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _init_tdnn_block(key, in_c, out_c, k):
+    k1, _ = jax.random.split(key)
+    return {"conv": L.init_conv1d(k1, in_c, out_c, k), "bn": L.init_batchnorm(out_c)}
+
+
+def _init_res2net(key, channels, kernel, scale):
+    width = channels // scale
+    blocks = []
+    keys = jax.random.split(key, scale - 1)
+    for i in range(scale - 1):
+        blocks.append(_init_tdnn_block(keys[i], width, width, kernel))
+    return {"blocks": blocks}
+
+
+def _init_se(key, channels, se_channels):
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv1": L.init_conv1d(k1, channels, se_channels, 1),
+        "conv2": L.init_conv1d(k2, se_channels, channels, 1),
+    }
+
+
+def _init_se_res2net(key, cfg: EcapaConfig, idx: int):
+    c = cfg.channels[idx]
+    keys = jax.random.split(key, 4)
+    return {
+        "tdnn1": _init_tdnn_block(keys[0], cfg.channels[idx - 1], c, 1),
+        "res2net": _init_res2net(keys[1], c, cfg.kernel_sizes[idx], cfg.res2net_scale),
+        "tdnn2": _init_tdnn_block(keys[2], c, c, 1),
+        "se": _init_se(keys[3], c, cfg.se_channels),
+    }
+
+
+def init_ecapa(key, cfg: EcapaConfig = EcapaConfig()) -> Dict:
+    keys = jax.random.split(key, 8)
+    cat_channels = sum(cfg.channels[1:4])
+    params = {
+        "block0": _init_tdnn_block(keys[0], cfg.in_channels, cfg.channels[0], cfg.kernel_sizes[0]),
+        "block1": _init_se_res2net(keys[1], cfg, 1),
+        "block2": _init_se_res2net(keys[2], cfg, 2),
+        "block3": _init_se_res2net(keys[3], cfg, 3),
+        "mfa": _init_tdnn_block(keys[4], cat_channels, cfg.channels[-1], cfg.kernel_sizes[-1]),
+        "asp": {
+            "tdnn": _init_tdnn_block(
+                keys[5],
+                cfg.channels[-1] * 3 if cfg.global_context else cfg.channels[-1],
+                cfg.attention_channels,
+                1,
+            ),
+            "conv": L.init_conv1d(keys[6], cfg.attention_channels, cfg.channels[-1], 1),
+        },
+        "asp_bn": L.init_batchnorm(cfg.channels[-1] * 2),
+        "fc": L.init_conv1d(keys[7], cfg.channels[-1] * 2, cfg.emb_dim, 1),
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _tdnn_block(x, p, dilation=1, precision=L.DEFAULT_PRECISION):
+    """Conv -> ReLU -> BatchNorm (speechbrain TDNNBlock order)."""
+    out = L.conv1d(x, p["conv"], dilation=dilation, padding="same", pad_mode="reflect",
+                   precision=precision)
+    return L.batchnorm1d(jax.nn.relu(out), p["bn"])
+
+
+def _res2net_block(x, p, kernel, dilation, scale, precision):
+    width = x.shape[1] // scale
+    parts = jnp.split(x, scale, axis=1)
+    outs = []
+    y = None
+    for i in range(scale - 1):
+        y = parts[i] if i == 0 else y + parts[i]
+        y = _tdnn_block(y, p["blocks"][i], dilation=dilation, precision=precision)
+        outs.append(y)
+    outs.append(parts[-1])
+    return jnp.concatenate(outs, axis=1)
+
+
+def _se_block(x, p, lengths, precision):
+    """Squeeze-excitation with masked temporal mean (speechbrain SEBlock)."""
+    T = x.shape[-1]
+    if lengths is None:
+        s = jnp.mean(x, axis=-1, keepdims=True)
+    else:
+        mask = L.length_mask(lengths, T, x.dtype)[:, None, :]
+        total = jnp.sum(mask, axis=-1, keepdims=True)
+        s = jnp.sum(x * mask, axis=-1, keepdims=True) / total
+    s = jax.nn.relu(L.conv1d(s, p["conv1"], precision=precision))
+    s = jax.nn.sigmoid(L.conv1d(s, p["conv2"], precision=precision))
+    return x * s
+
+
+def _se_res2net_block(x, p, cfg, idx, lengths, precision):
+    residual = x
+    out = _tdnn_block(x, p["tdnn1"], precision=precision)
+    out = _res2net_block(out, p["res2net"], cfg.kernel_sizes[idx], cfg.dilations[idx],
+                         cfg.res2net_scale, precision)
+    out = _tdnn_block(out, p["tdnn2"], precision=precision)
+    out = _se_block(out, p["se"], lengths, precision)
+    return out + residual
+
+
+def _masked_stats(x, m, eps):
+    """Weighted mean/std over time: m already sums to 1 along time."""
+    mean = jnp.sum(m * x, axis=2)
+    var = jnp.sum(m * (x - mean[..., None]) ** 2, axis=2)
+    std = jnp.sqrt(jnp.maximum(var, eps))
+    return mean, std
+
+
+def _attentive_stats_pool(x, p, cfg, lengths, precision):
+    """(B, C, T) -> (B, 2C) attentive statistics pooling with global context
+    and length masking (speechbrain AttentiveStatisticsPooling)."""
+    B, C, T = x.shape
+    if lengths is None:
+        lengths = jnp.ones((B,), x.dtype)
+    mask = L.length_mask(lengths, T, x.dtype)[:, None, :]
+    if cfg.global_context:
+        total = jnp.sum(mask, axis=2, keepdims=True)
+        mean, std = _masked_stats(x, mask / total, cfg.eps)
+        attn = jnp.concatenate(
+            [x, jnp.repeat(mean[..., None], T, axis=2), jnp.repeat(std[..., None], T, axis=2)],
+            axis=1,
+        )
+    else:
+        attn = x
+    attn = _tdnn_block(attn, p["tdnn"], precision=precision)
+    attn = L.conv1d(jnp.tanh(attn), p["conv"], precision=precision)
+    attn = jnp.where(mask == 0, -jnp.inf, attn)
+    attn = jax.nn.softmax(attn, axis=2)
+    mean, std = _masked_stats(x, attn, cfg.eps)
+    return jnp.concatenate([mean, std], axis=1)
+
+
+def ecapa_forward(
+    params: Dict,
+    feats: jnp.ndarray,
+    lengths: jnp.ndarray | None = None,
+    cfg: EcapaConfig = EcapaConfig(),
+    precision=L.DEFAULT_PRECISION,
+) -> jnp.ndarray:
+    """(B, T, n_mels) features, (B,) relative lengths -> (B, emb_dim).
+
+    Mirrors speechbrain ECAPA_TDNN.forward as exported to emd4.onnx
+    (reference embeddings/export3.py:560-627): transpose to channels-first,
+    block chain with skip-cat of blocks 1-3, MFA, ASP, BN, fc.
+    """
+    x = jnp.swapaxes(feats, 1, 2)  # (B, n_mels, T)
+    x0 = _tdnn_block(x, params["block0"], dilation=cfg.dilations[0], precision=precision)
+    x1 = _se_res2net_block(x0, params["block1"], cfg, 1, lengths, precision)
+    x2 = _se_res2net_block(x1, params["block2"], cfg, 2, lengths, precision)
+    x3 = _se_res2net_block(x2, params["block3"], cfg, 3, lengths, precision)
+    x = jnp.concatenate([x1, x2, x3], axis=1)
+    x = _tdnn_block(x, params["mfa"], dilation=cfg.dilations[-1], precision=precision)
+    pooled = _attentive_stats_pool(x, params["asp"], cfg, lengths, precision)
+    pooled = L.batchnorm1d(pooled, params["asp_bn"])
+    emb = L.conv1d(pooled[..., None], params["fc"], precision=precision)
+    return emb[..., 0]

@@ -1,0 +1,217 @@
+"""Functional NN layer primitives shared by PyanNet and ECAPA-TDNN.
+
+Plain-pytree design: parameters are nested dicts of jnp arrays, layers are
+pure functions — everything jit/vmap/pjit-composable with no framework state.
+Conventions follow torch so converted checkpoints drop straight in:
+conv weights are (out, in, k), linear weights are (out, in), LSTM gates are
+ordered i,f,g,o.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, jnp.ndarray]
+
+# f32 MXU precision: model numerics feed a chaos-sensitive clustering
+# threshold (reference README.md:99-101), so default to full precision and
+# let benchmarks opt into bf16 explicitly.
+DEFAULT_PRECISION = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# initializers (match torch defaults so random-weight parity tests line up)
+# ---------------------------------------------------------------------------
+
+
+def _uniform(key, shape, bound):
+    return jax.random.uniform(key, shape, minval=-bound, maxval=bound)
+
+
+def init_conv1d(key, in_channels: int, out_channels: int, kernel_size: int, bias: bool = True) -> Params:
+    k1, k2 = jax.random.split(key)
+    bound = 1.0 / np.sqrt(in_channels * kernel_size)
+    p = {"weight": _uniform(k1, (out_channels, in_channels, kernel_size), bound)}
+    if bias:
+        p["bias"] = _uniform(k2, (out_channels,), bound)
+    return p
+
+
+def init_linear(key, in_features: int, out_features: int, bias: bool = True) -> Params:
+    k1, k2 = jax.random.split(key)
+    bound = 1.0 / np.sqrt(in_features)
+    p = {"weight": _uniform(k1, (out_features, in_features), bound)}
+    if bias:
+        p["bias"] = _uniform(k2, (out_features,), bound)
+    return p
+
+
+def init_batchnorm(channels: int) -> Params:
+    return {
+        "weight": jnp.ones((channels,)),
+        "bias": jnp.zeros((channels,)),
+        "running_mean": jnp.zeros((channels,)),
+        "running_var": jnp.ones((channels,)),
+    }
+
+
+def init_instancenorm(channels: int) -> Params:
+    return {"weight": jnp.ones((channels,)), "bias": jnp.zeros((channels,))}
+
+
+def init_lstm(key, input_size: int, hidden_size: int) -> Params:
+    keys = jax.random.split(key, 4)
+    bound = 1.0 / np.sqrt(hidden_size)
+    return {
+        "weight_ih": _uniform(keys[0], (4 * hidden_size, input_size), bound),
+        "weight_hh": _uniform(keys[1], (4 * hidden_size, hidden_size), bound),
+        "bias_ih": _uniform(keys[2], (4 * hidden_size,), bound),
+        "bias_hh": _uniform(keys[3], (4 * hidden_size,), bound),
+    }
+
+
+# ---------------------------------------------------------------------------
+# forward primitives
+# ---------------------------------------------------------------------------
+
+
+def conv1d(
+    x: jnp.ndarray,
+    p: Params,
+    stride: int = 1,
+    dilation: int = 1,
+    padding: str | int = 0,
+    pad_mode: str = "zeros",
+    precision=DEFAULT_PRECISION,
+) -> jnp.ndarray:
+    """(B, C_in, T) -> (B, C_out, T') torch-convention Conv1d.
+
+    ``padding="same"`` with ``pad_mode="reflect"`` reproduces speechbrain's
+    Conv1d default (its _manage_padding reflect-pads (k-1)*d/2 per side),
+    which the ECAPA blocks rely on.
+    """
+    w = p["weight"]
+    k = w.shape[-1]
+    if padding == "same":
+        pad = (k - 1) * dilation // 2
+        if pad_mode == "reflect":
+            x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)), mode="reflect")
+            pads = [(0, 0)]
+        else:
+            pads = [(pad, pad)]
+    else:
+        pads = [(int(padding), int(padding))]
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=pads,
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=precision,
+    )
+    if "bias" in p:
+        out = out + p["bias"][None, :, None]
+    return out
+
+
+def linear(x: jnp.ndarray, p: Params, precision=DEFAULT_PRECISION) -> jnp.ndarray:
+    out = jnp.einsum("...i,oi->...o", x, p["weight"], precision=precision)
+    if "bias" in p:
+        out = out + p["bias"]
+    return out
+
+
+def batchnorm1d(x: jnp.ndarray, p: Params, eps: float = 1e-5) -> jnp.ndarray:
+    """Inference-mode BatchNorm1d over (B, C) or (B, C, T)."""
+    shape = (1, -1) if x.ndim == 2 else (1, -1, 1)
+    mean = p["running_mean"].reshape(shape)
+    var = p["running_var"].reshape(shape)
+    w = p["weight"].reshape(shape)
+    b = p["bias"].reshape(shape)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * w + b
+
+
+def instancenorm1d(x: jnp.ndarray, p: Params | None, eps: float = 1e-5) -> jnp.ndarray:
+    """(B, C, T) instance norm over T, optionally affine (torch affine=True)."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    out = (x - mean) * jax.lax.rsqrt(var + eps)
+    if p is not None:
+        out = out * p["weight"][None, :, None] + p["bias"][None, :, None]
+    return out
+
+
+def max_pool1d(x: jnp.ndarray, kernel: int, stride: int) -> jnp.ndarray:
+    """(B, C, T) -> (B, C, T') torch MaxPool1d (floor mode, no padding)."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, 1, kernel),
+        window_strides=(1, 1, stride),
+        padding="VALID",
+    )
+
+
+def lstm_cell_scan(
+    x: jnp.ndarray,
+    p: Params,
+    reverse: bool = False,
+    precision=DEFAULT_PRECISION,
+) -> jnp.ndarray:
+    """(B, T, I) -> (B, T, H) single-direction LSTM, torch gate order i,f,g,o.
+
+    The time axis serializes through lax.scan; batch (the chunk axis) is the
+    parallel dimension — exactly the trade the 293-frame PyanNet windows want
+    (SURVEY.md section 7 "LSTM in PyanNet").
+    """
+    hidden = p["weight_hh"].shape[1]
+    # precompute input contributions for all timesteps in one GEMM
+    xw = jnp.einsum("bti,gi->btg", x, p["weight_ih"], precision=precision)
+    xw = xw + p["bias_ih"] + p["bias_hh"]
+
+    def step(carry, xt):
+        h, c = carry
+        gates = xt + jnp.einsum("bh,gh->bg", h, p["weight_hh"], precision=precision)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    batch = x.shape[0]
+    init = (
+        jnp.zeros((batch, hidden), x.dtype),
+        jnp.zeros((batch, hidden), x.dtype),
+    )
+    xs = jnp.swapaxes(xw, 0, 1)  # (T, B, 4H)
+    _, hs = jax.lax.scan(step, init, xs, reverse=reverse)
+    return jnp.swapaxes(hs, 0, 1)
+
+
+def bilstm_stack(
+    x: jnp.ndarray,
+    layers: list,
+    precision=DEFAULT_PRECISION,
+) -> jnp.ndarray:
+    """Multi-layer bidirectional LSTM; layers = [{"fwd": P, "bwd": P}, ...]."""
+    out = x
+    for layer in layers:
+        fwd = lstm_cell_scan(out, layer["fwd"], reverse=False, precision=precision)
+        bwd = lstm_cell_scan(out, layer["bwd"], reverse=True, precision=precision)
+        out = jnp.concatenate([fwd, bwd], axis=-1)
+    return out
+
+
+def length_mask(lengths_rel: jnp.ndarray, max_len: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(B,) relative lengths -> (B, max_len) mask, speechbrain length_to_mask
+    semantics: frame t is valid iff t < rel_len * max_len (no rounding)."""
+    bounds = lengths_rel * max_len
+    idx = jnp.arange(max_len)[None, :]
+    return (idx < bounds[:, None]).astype(dtype)

@@ -1,0 +1,198 @@
+"""PyanNet segmentation model (pyannote/segmentation@2022.07 topology).
+
+TPU-native functional re-design of the model behind the reference's
+``segment2.onnx`` (exported by reference segment/export2.py:16-53 from
+pyannote/segmentation@2022.07): SincNet front-end (learnable band-pass sinc
+filters, stride 10) + 4-layer bidirectional LSTM (hidden 128) + two 128-d
+linear layers + 3-class sigmoid head. A 5 s / 80000-sample window maps to
+293 output frames of 270 samples (0.016875 s), the frame grid hard-coded at
+reference pipeline/src/speakerDiarizer.cpp:2430-2432.
+
+The sinc filters are built from (low_hz, band_hz) parameters inside the
+forward — a trivial (80, 251) computation — so the model stays trainable;
+at inference XLA constant-folds it into a plain convolution.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import layers as L
+
+
+@dataclasses.dataclass(frozen=True)
+class PyanNetConfig:
+    sample_rate: int = 16000
+    num_filters: int = 80
+    kernel_size: int = 251
+    stride: int = 10
+    min_low_hz: float = 50.0
+    min_band_hz: float = 50.0
+    conv_channels: int = 60
+    lstm_hidden: int = 128
+    lstm_layers: int = 4
+    linear_hidden: int = 128
+    linear_layers: int = 2
+    num_classes: int = 3
+    leaky_slope: float = 0.01
+
+
+def pyannet_num_frames(num_samples: int, cfg: PyanNetConfig = PyanNetConfig()) -> int:
+    """Output frame count for an input of ``num_samples`` samples.
+
+    Mirrors the conv/pool arithmetic chain (sinc k251 s10 -> pool3 ->
+    conv5 -> pool3 -> conv5 -> pool3): 80000 -> 293.
+    """
+    n = (num_samples - cfg.kernel_size) // cfg.stride + 1
+    n = (n - 3) // 3 + 1
+    n = n - 4
+    n = (n - 3) // 3 + 1
+    n = n - 4
+    n = (n - 3) // 3 + 1
+    return n
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _init_sinc(key, cfg: PyanNetConfig) -> Dict:
+    """Mel-spaced initial band edges, classic SincNet parameterization
+    (Ravanelli & Bengio, "Speaker Recognition from Raw Waveform with
+    SincNet"; the filterbank behind pyannote's SincNet block)."""
+    low_hz, high_hz = 30.0, cfg.sample_rate / 2 - (cfg.min_low_hz + cfg.min_band_hz)
+
+    def to_mel(hz):
+        return 2595 * np.log10(1 + hz / 700)
+
+    def to_hz(mel):
+        return 700 * (10 ** (mel / 2595) - 1)
+
+    mel = np.linspace(to_mel(low_hz), to_mel(high_hz), cfg.num_filters + 1)
+    hz = to_hz(mel)
+    return {
+        "low_hz": jnp.asarray(hz[:-1, None], jnp.float32),
+        "band_hz": jnp.asarray(np.diff(hz)[:, None], jnp.float32),
+    }
+
+
+def init_pyannet(key, cfg: PyanNetConfig = PyanNetConfig()) -> Dict:
+    keys = jax.random.split(key, 16)
+    lstm_layers = []
+    in_size = cfg.conv_channels
+    for i in range(cfg.lstm_layers):
+        lstm_layers.append(
+            {
+                "fwd": L.init_lstm(keys[2 * i], in_size, cfg.lstm_hidden),
+                "bwd": L.init_lstm(keys[2 * i + 1], in_size, cfg.lstm_hidden),
+            }
+        )
+        in_size = 2 * cfg.lstm_hidden
+    linears = []
+    lin_in = 2 * cfg.lstm_hidden
+    for i in range(cfg.linear_layers):
+        linears.append(L.init_linear(keys[8 + i], lin_in, cfg.linear_hidden))
+        lin_in = cfg.linear_hidden
+    return {
+        "sincnet": {
+            "wav_norm": L.init_instancenorm(1),
+            "sinc": _init_sinc(keys[10], cfg),
+            "norm0": L.init_instancenorm(cfg.num_filters),
+            "conv1": L.init_conv1d(keys[11], cfg.num_filters, cfg.conv_channels, 5),
+            "norm1": L.init_instancenorm(cfg.conv_channels),
+            "conv2": L.init_conv1d(keys[12], cfg.conv_channels, cfg.conv_channels, 5),
+            "norm2": L.init_instancenorm(cfg.conv_channels),
+        },
+        "lstm": lstm_layers,
+        "linear": linears,
+        "classifier": L.init_linear(keys[14], cfg.linear_hidden, cfg.num_classes),
+    }
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def sinc_filters(p: Dict, cfg: PyanNetConfig) -> jnp.ndarray:
+    """(num_filters, 1, kernel_size) band-pass filters from (low, band) params.
+
+    Classic SincNet construction: bandpass = (sin(2pi f_hi n) - sin(2pi f_lo n))
+    / (n/2), hamming-windowed, center sample = 2*band, normalized by 2*band.
+    """
+    low = cfg.min_low_hz + jnp.abs(p["low_hz"])
+    high = jnp.clip(
+        low + cfg.min_band_hz + jnp.abs(p["band_hz"]),
+        cfg.min_low_hz,
+        cfg.sample_rate / 2,
+    )
+    band = (high - low)[:, 0]
+
+    half = (cfg.kernel_size - 1) // 2
+    n_ = 2 * jnp.pi * jnp.arange(-half, 0.0)[None, :] / cfg.sample_rate
+    # hamming window over the left half
+    window = 0.54 - 0.46 * jnp.cos(
+        2 * jnp.pi * jnp.arange(half) / cfg.kernel_size
+    )
+
+    f_low = low * n_
+    f_high = high * n_
+    bp_left = ((jnp.sin(f_high) - jnp.sin(f_low)) / (n_ / 2)) * window[None, :]
+    bp_center = 2 * band[:, None]
+    bp = jnp.concatenate([bp_left, bp_center, jnp.flip(bp_left, axis=1)], axis=1)
+    bp = bp / (2 * band[:, None])
+    return bp[:, None, :]
+
+
+def sincnet_forward(
+    x: jnp.ndarray, p: Dict, cfg: PyanNetConfig, precision=L.DEFAULT_PRECISION
+) -> jnp.ndarray:
+    """(B, num_samples) waveforms -> (B, conv_channels, frames).
+
+    InstanceNorm -> sinc conv (stride 10) -> |.| -> pool3 -> IN -> leaky ->
+    conv5 -> pool3 -> IN -> leaky -> conv5 -> pool3 -> IN -> leaky, following
+    pyannote.audio SincNet (wav_norm1d + 3 conv/pool/norm blocks).
+    """
+    out = x[:, None, :]
+    out = L.instancenorm1d(out, p["wav_norm"])
+    filters = sinc_filters(p["sinc"], cfg)
+    out = jax.lax.conv_general_dilated(
+        out,
+        filters,
+        window_strides=(cfg.stride,),
+        padding=[(0, 0)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=precision,
+    )
+    out = jnp.abs(out)
+    out = L.max_pool1d(out, 3, 3)
+    out = jax.nn.leaky_relu(L.instancenorm1d(out, p["norm0"]), cfg.leaky_slope)
+    out = L.conv1d(out, p["conv1"], precision=precision)
+    out = L.max_pool1d(out, 3, 3)
+    out = jax.nn.leaky_relu(L.instancenorm1d(out, p["norm1"]), cfg.leaky_slope)
+    out = L.conv1d(out, p["conv2"], precision=precision)
+    out = L.max_pool1d(out, 3, 3)
+    out = jax.nn.leaky_relu(L.instancenorm1d(out, p["norm2"]), cfg.leaky_slope)
+    return out
+
+
+def pyannet_forward(
+    params: Dict,
+    waveforms: jnp.ndarray,
+    cfg: PyanNetConfig = PyanNetConfig(),
+    precision=L.DEFAULT_PRECISION,
+) -> jnp.ndarray:
+    """(B, num_samples) -> (B, frames, num_classes) sigmoid activations."""
+    feat = sincnet_forward(waveforms, params["sincnet"], cfg, precision)
+    out = jnp.swapaxes(feat, 1, 2)  # (B, frames, channels)
+    out = L.bilstm_stack(out, params["lstm"], precision)
+    for lin in params["linear"]:
+        out = jax.nn.leaky_relu(L.linear(out, lin, precision), cfg.leaky_slope)
+    out = L.linear(out, params["classifier"], precision)
+    return jax.nn.sigmoid(out)
