@@ -1,0 +1,68 @@
+"""Command-line entry point.
+
+Reference: ``./speakerDiarizer <segment.onnx> <embedding.onnx> <wav>``
+(pipeline/src/speakerDiarizer.cpp:3415-3442) printing
+``[start -- end] --> Speaker_k`` lines plus per-stage timings. Here model
+weights live in a single checkpoint directory (or default to random weights
+for smoke runs), and audio of any rate/channels is accepted.
+
+    python -m pyannote_audio_speaker_diarization_cpp_tpu.cli audio.wav \
+        [--checkpoint DIR] [--num-speakers N] [--rttm out.rttm]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="TPU-native speaker diarization")
+    parser.add_argument("wav", help="input audio (RIFF wav)")
+    parser.add_argument("--checkpoint", default=None, help="weights directory (.npz files)")
+    parser.add_argument("--num-speakers", type=int, default=None)
+    parser.add_argument("--min-speakers", type=int, default=None)
+    parser.add_argument("--max-speakers", type=int, default=None)
+    parser.add_argument("--rttm", default=None, help="write RTTM to this path")
+    parser.add_argument("--seg-batch", type=int, default=None)
+    parser.add_argument("--emb-batch", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    from .pipelines.diarization import SpeakerDiarizationPipeline
+
+    params = None
+    if args.checkpoint:
+        from .models.convert import load_checkpoint
+
+        params = load_checkpoint(args.checkpoint)
+
+    t0 = time.perf_counter()
+    pipeline = SpeakerDiarizationPipeline(
+        params=params, seg_batch=args.seg_batch, emb_batch=args.emb_batch
+    )
+    annotation = pipeline(
+        args.wav,
+        num_speakers=args.num_speakers,
+        min_speakers=args.min_speakers,
+        max_speakers=args.max_speakers,
+    )
+    total = time.perf_counter() - t0
+
+    for turn in annotation.turns():
+        print(f"[{turn.start:.3f} -- {turn.end:.3f}] --> Speaker_{turn.label}")
+    t = pipeline.timings
+    print("-----------", file=sys.stderr)
+    print(f"Segmentation time: {t.segmentation*1000:.0f}ms", file=sys.stderr)
+    print(f"Embedding time: {t.embedding*1000:.0f}ms", file=sys.stderr)
+    print(f"Clustering time: {t.clustering*1000:.0f}ms", file=sys.stderr)
+    print(f"Total time: {total*1000:.0f}ms", file=sys.stderr)
+
+    if args.rttm:
+        with open(args.rttm, "w") as f:
+            f.write(annotation.to_rttm(args.wav) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,282 @@
+"""The three-stage speaker-diarization pipeline, TPU-first.
+
+Re-design of the reference orchestrator ``speakerDiarization``
+(reference pipeline/src/speakerDiarizer.cpp:2937-3234; Python original
+segment/segment.py:148-245). Differences are architectural, not behavioral:
+
+  - All chunks are materialized by one gather and run through jitted
+    fixed-shape batches (no scalar window-copy loops, no per-batch
+    host<->device round trips — the reference crosses the device boundary
+    four times per embedding batch, :2018-2036).
+  - The embedding front-end (STFT/fbank/norm) runs fused on device inside
+    the same jit as ECAPA (ops/frontend.py) instead of float64 libtorch.
+  - Mask preparation, binarization and aggregation are device-side
+    vectorized ops; only clustering and the final decode run on host
+    (tiny: N x 192 embeddings, a few thousand frames).
+  - Optional data-parallel sharding of the chunk axis over a device mesh
+    (parallel/sharding.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Dict, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, DiarizationConfig
+from ..core.annotation import Annotation
+from ..core.sliding_window import SlidingWindow
+from ..clustering.base import AgglomerativeClustering
+from ..io import resample as rs
+from ..io import wav as wavio
+from ..models import ecapa as ecapa_mod
+from ..models import layers as L
+from ..models import pyannet as pyannet_mod
+from ..ops import binarize as bz
+from ..ops import frontend as fe
+from ..ops import masks as mk
+from ..ops import windows as win
+from . import reconstruct as rec
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class StageTimings:
+    segmentation: float = 0.0
+    embedding: float = 0.0
+    clustering: float = 0.0
+
+    @property
+    def total(self) -> float:
+        return self.segmentation + self.embedding + self.clustering
+
+
+class SpeakerDiarizationPipeline:
+    """wav -> speech turns, pyannote speaker-diarization v2.x recipe."""
+
+    def __init__(
+        self,
+        config: DiarizationConfig = DEFAULT_CONFIG,
+        params: Optional[Dict] = None,
+        seed: int = 0,
+        seg_batch: Optional[int] = None,
+        emb_batch: Optional[int] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        precision=L.DEFAULT_PRECISION,
+    ):
+        self.config = config
+        self.pyannet_cfg = pyannet_mod.PyanNetConfig(
+            sample_rate=config.segmentation.sample_rate,
+            num_classes=config.segmentation.num_speakers,
+        )
+        self.ecapa_cfg = ecapa_mod.EcapaConfig(in_channels=config.frontend.n_mels)
+        if params is None:
+            key = jax.random.PRNGKey(seed)
+            k1, k2 = jax.random.split(key)
+            params = {
+                "segmentation": pyannet_mod.init_pyannet(k1, self.pyannet_cfg),
+                "embedding": ecapa_mod.init_ecapa(k2, self.ecapa_cfg),
+            }
+        self.params = params
+        self.seg_batch = seg_batch or config.segmentation.batch_size
+        self.emb_batch = emb_batch or config.embedding.batch_size
+        self.mesh = mesh
+        self.precision = precision
+        self.timings = StageTimings()
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+    # jitted device steps
+    # ------------------------------------------------------------------
+
+    def _build_steps(self):
+        cfg = self.config
+        precision = self.precision
+
+        def seg_step(params, chunks):
+            return pyannet_mod.pyannet_forward(
+                params, chunks, self.pyannet_cfg, precision=precision
+            )
+
+        def emb_step(params, chunks, masks):
+            signals, wav_lens, too_short = mk.pack_and_lengths(
+                chunks,
+                masks,
+                cfg.embedding.mask_threshold,
+                cfg.embedding.min_num_samples,
+            )
+            feats = fe.compute_features(signals, wav_lens, cfg.frontend)
+            emb = ecapa_mod.ecapa_forward(
+                params, feats, wav_lens, self.ecapa_cfg, precision=precision
+            )
+            return emb, too_short
+
+        def binarize_step(scores):
+            return bz.binarize_swf(
+                scores, cfg.segmentation.onset, cfg.segmentation.offset
+            )
+
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_batch_step
+
+            seg_step = shard_batch_step(seg_step, self.mesh)
+            emb_step = shard_batch_step(emb_step, self.mesh)
+
+        self._seg_step = jax.jit(seg_step)
+        self._emb_step = jax.jit(emb_step)
+        self._binarize = jax.jit(binarize_step)
+
+    def _batched(self, fn, arrays, batch: int, num_outputs: int = 1):
+        """Run ``fn(params-free arrays...)`` over the leading axis in fixed
+        ``batch`` slices (zero-padded tail) and concatenate."""
+        n = arrays[0].shape[0]
+        outs = [[] for _ in range(num_outputs)]
+        for start in range(0, n, batch):
+            stop = min(start + batch, n)
+            parts = []
+            for a in arrays:
+                piece = a[start:stop]
+                if stop - start < batch:
+                    pad = [(0, batch - (stop - start))] + [(0, 0)] * (a.ndim - 1)
+                    piece = jnp.pad(piece, pad)
+                parts.append(piece)
+            res = fn(*parts)
+            if num_outputs == 1:
+                res = (res,)
+            for i, r in enumerate(res):
+                outs[i].append(r[: stop - start])
+        merged = [jnp.concatenate(o, axis=0) for o in outs]
+        return merged[0] if num_outputs == 1 else merged
+
+    # ------------------------------------------------------------------
+    # the pipeline
+    # ------------------------------------------------------------------
+
+    def __call__(
+        self,
+        audio: Union[str, np.ndarray],
+        sample_rate: Optional[int] = None,
+        num_speakers: Optional[int] = None,
+        min_speakers: Optional[int] = None,
+        max_speakers: Optional[int] = None,
+    ) -> Annotation:
+        cfg = self.config
+        seg_cfg = cfg.segmentation
+        sr = seg_cfg.sample_rate
+
+        # ---------- load ----------
+        if isinstance(audio, str):
+            data = wavio.read_wav(audio)
+            waveform = rs.downmix(data.samples)
+            if data.sample_rate != sr:
+                waveform = rs.resample(waveform, data.sample_rate, sr)
+            scale = float(1 << (data.bits_per_sample - 1))
+            waveform = (waveform / scale).astype(np.float32)
+        else:
+            waveform = np.asarray(audio, dtype=np.float32)
+            if waveform.ndim == 2:
+                waveform = rs.downmix(waveform)
+            if sample_rate is not None and sample_rate != sr:
+                waveform = rs.resample(waveform, sample_rate, sr)
+        num_samples = waveform.shape[0]
+
+        # ---------- stage 1: segmentation ----------
+        t0 = time.perf_counter()
+        num_chunks = win.chunk_count(num_samples, seg_cfg.window_size, seg_cfg.step_size)
+        chunks = win.chunk_waveform(
+            jnp.asarray(waveform), num_chunks, seg_cfg.window_size, seg_cfg.step_size
+        )
+        segmentations = self._batched(
+            lambda c: self._seg_step(self.params["segmentation"], c),
+            [chunks],
+            self.seg_batch,
+        )
+        # orphan last chunk: the reference runs it at its true length and
+        # zero-pads the model output (segment/segment.py:103-108); we ran the
+        # zero-padded input, so zero the frames past the true frame count
+        orphan_samples = num_samples - (num_chunks - 1) * seg_cfg.step_size
+        if orphan_samples < seg_cfg.window_size:
+            valid = max(
+                pyannet_mod.pyannet_num_frames(orphan_samples, self.pyannet_cfg), 0
+            )
+            frame_idx = jnp.arange(segmentations.shape[1])
+            last = jnp.where(
+                (frame_idx < valid)[None, :, None], segmentations[-1:], 0.0
+            )
+            segmentations = jnp.concatenate([segmentations[:-1], last], axis=0)
+
+        binarized = self._binarize(segmentations)
+        chunk_frames = SlidingWindow(
+            0.0, seg_cfg.step, seg_cfg.duration, num_samples=num_samples
+        )
+        frame_grid = SlidingWindow(
+            seg_cfg.frame_start, seg_cfg.frame_step, seg_cfg.frame_duration
+        )
+        count, count_frames = rec.speaker_count(
+            np.asarray(binarized), chunk_frames, frame_grid, num_samples, seg_cfg.warm_up
+        )
+        jax.block_until_ready(binarized)
+        self.timings.segmentation = time.perf_counter() - t0
+
+        # ---------- stage 2: embeddings ----------
+        t0 = time.perf_counter()
+        min_num_frames = math.ceil(
+            seg_cfg.num_frames * cfg.embedding.min_num_samples / seg_cfg.window_size
+        )
+        cleaned = mk.clean_segmentations(binarized)
+        chosen = mk.choose_masks(binarized, cleaned, float(min_num_frames))
+        # (chunks, speakers, frames) -> one row per (chunk, speaker)
+        rows = chosen.reshape(-1, chosen.shape[-1])
+        row_chunks = jnp.repeat(
+            jnp.arange(num_chunks), seg_cfg.num_speakers
+        )  # row -> chunk index
+        # gather each batch's chunk windows inside the step (keeps device
+        # memory at O(num_chunks) rather than 3x)
+        emb, too_short = self._batched(
+            lambda idx, m: self._emb_step(self.params["embedding"], chunks[idx], m),
+            [row_chunks, rows],
+            self.emb_batch,
+            num_outputs=2,
+        )
+        embeddings = np.asarray(emb, dtype=np.float64)
+        embeddings[np.asarray(too_short)] = np.nan
+        embeddings = embeddings.reshape(num_chunks, seg_cfg.num_speakers, -1)
+        self.timings.embedding = time.perf_counter() - t0
+
+        # ---------- stage 3: clustering + reconstruction ----------
+        t0 = time.perf_counter()
+        clustering = AgglomerativeClustering(cfg.clustering)
+        hard, soft = clustering(
+            embeddings,
+            num_clusters=num_speakers or cfg.num_speakers,
+            min_clusters=min_speakers or cfg.min_speakers,
+            max_clusters=max_speakers or cfg.max_speakers,
+        )
+
+        # inactive local speakers -> -2 (speakerDiarizer.cpp:3166-3191)
+        binarized_np = np.asarray(binarized)
+        inactive = binarized_np.sum(axis=1) == 0
+        hard = np.asarray(hard)
+        hard[inactive] = -2
+
+        discrete, discrete_frames = rec.reconstruct(
+            np.asarray(segmentations), chunk_frames, hard, count, count_frames
+        )
+        annotation = rec.to_annotation(
+            discrete,
+            discrete_frames,
+            onset=cfg.clustering.binarize_onset,
+            offset=cfg.clustering.binarize_offset,
+            min_duration_on=seg_cfg.min_duration_on,
+            min_duration_off=seg_cfg.min_duration_off,
+        )
+        self.timings.clustering = time.perf_counter() - t0
+        return annotation

@@ -1,0 +1,204 @@
+"""End-to-end pipeline, reconstruction, and IO tests (CPU, random weights)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pyannote_audio_speaker_diarization_cpp_tpu.config import (
+    DiarizationConfig,
+    SegmentationConfig,
+)
+from pyannote_audio_speaker_diarization_cpp_tpu.core.segment import Segment
+from pyannote_audio_speaker_diarization_cpp_tpu.core.sliding_window import SlidingWindow
+from pyannote_audio_speaker_diarization_cpp_tpu.io import wav as wavio
+from pyannote_audio_speaker_diarization_cpp_tpu.io import resample as rs
+from pyannote_audio_speaker_diarization_cpp_tpu.pipelines import reconstruct as rec
+from pyannote_audio_speaker_diarization_cpp_tpu.pipelines.diarization import (
+    SpeakerDiarizationPipeline,
+)
+
+
+# ---------------------------------------------------------------------------
+# io
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_16bit():
+    rng = np.random.default_rng(0)
+    samples = rng.integers(-30000, 30000, size=(1, 4000)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.wav")
+        wavio.write_wav(path, samples, 16000, 16)
+        data = wavio.read_wav(path)
+        assert data.sample_rate == 16000
+        assert data.bits_per_sample == 16
+        np.testing.assert_array_equal(data.samples, samples)
+
+
+def test_wav_stream_writer_matches_batch():
+    rng = np.random.default_rng(1)
+    samples = rng.integers(-1000, 1000, size=3000).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        p1, p2 = os.path.join(d, "a.wav"), os.path.join(d, "b.wav")
+        wavio.write_wav(p1, samples, 8000, 16)
+        with wavio.StreamWavWriter(p2, 1, 8000, 16) as w:
+            for i in range(0, 3000, 700):
+                w.write(samples[i : i + 700])
+        assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_wav_reader_reference_file(reference_wav_path):
+    data = wavio.read_wav(reference_wav_path)
+    assert data.sample_rate == 16000
+    assert data.num_channels == 1
+    assert data.bits_per_sample == 16
+    assert 50 < data.duration < 70  # ~1 minute
+
+
+def test_resample_preserves_tone():
+    sr1, sr2 = 8000, 16000
+    t1 = np.arange(sr1) / sr1
+    x = np.sin(2 * np.pi * 440 * t1).astype(np.float32)
+    y = rs.resample(x, sr1, sr2)
+    assert abs(len(y) - sr2) <= 2
+    # dominant frequency preserved
+    spec = np.abs(np.fft.rfft(y[: sr2]))
+    assert abs(np.argmax(spec) - 440) <= 2
+
+
+# ---------------------------------------------------------------------------
+# reconstruction
+# ---------------------------------------------------------------------------
+
+
+def test_trim():
+    binarized = np.random.default_rng(0).uniform(size=(4, 293, 3))
+    frames = SlidingWindow(0.0, 0.5, 5.0)
+    trimmed, tf = rec.trim(binarized, frames)
+    assert trimmed.shape == (4, 293 - 58, 3)
+    assert tf.start == pytest.approx(0.5)
+    assert tf.duration == pytest.approx(4.0)
+    np.testing.assert_array_equal(trimmed, binarized[:, 29:264, :])
+
+
+def test_speaker_count_simple():
+    # two chunks, constant activity: 2 speakers in chunk 0, 1 in chunk 1
+    binarized = np.zeros((2, 293, 3))
+    binarized[0, :, 0] = 1
+    binarized[0, :, 1] = 1
+    binarized[1, :, 0] = 1
+    chunk_frames = SlidingWindow(0.0, 0.5, 5.0)
+    frame_grid = SlidingWindow(0.0, 0.016875, 0.016875)
+    count, count_frames = rec.speaker_count(binarized, chunk_frames, frame_grid, 88000)
+    assert count_frames.start == pytest.approx(0.5)
+    # non-overlap region of chunk 0 -> 2; chunk-1-only region -> 1; trailing
+    # grid frames past the last trimmed chunk get missing=0 (reference
+    # aggregate missing=0.0, speakerDiarizer.cpp:1720)
+    # chunk0 trimmed covers [0.5,4.5], chunk1 [1.0,5.0]; overlap averages
+    # (2+1)/2=1.5 -> banker's 2; chunk-1-only region [4.5,5.0) -> 1
+    assert count[0] == 2
+    assert count[100] == 2
+    assert count[250] == 1
+    assert set(np.unique(count)) <= {0, 1, 2}
+
+
+def test_reconstruct_and_annotation():
+    """One chunk, one active cluster -> one turn of the right span."""
+    num_frames = 293
+    seg = np.zeros((1, num_frames, 3), dtype=np.float32)
+    seg[0, 50:200, 0] = 0.9
+    hard = np.array([[0, -2, -2]])
+    # count grid starts at 0.5 s; active seg frames 50..200 span
+    # [0.84, 3.38] s -> count indices ~20..170. Elsewhere count=0 (the
+    # binary decode gives every frame its top-`count` speakers, so count
+    # must be 0 on silence).
+    count = np.zeros(280, dtype=np.int64)
+    count[20:170] = 1
+    chunk_frames = SlidingWindow(0.0, 0.5, 5.0)
+    count_frames = SlidingWindow(0.5, 0.016875, 0.016875)
+    discrete, frames = rec.reconstruct(seg, chunk_frames, hard, count, count_frames)
+    assert discrete.shape[1] == 1
+    ann = rec.to_annotation(discrete, frames, 0.5, 0.5, 0.0, 0.58)
+    turns = ann.turns()
+    assert len(turns) == 1
+    # active frames 50..200 at 0.016875 s/frame ~ [0.84, 3.38]
+    assert turns[0].start == pytest.approx(50 * 0.016875, abs=0.1)
+    assert turns[0].end == pytest.approx(200 * 0.016875, abs=0.1)
+
+
+def test_to_annotation_gap_filling():
+    frames = SlidingWindow(0.0, 0.1, 0.1)
+    scores = np.zeros((40, 1))
+    scores[5:10, 0] = 1.0
+    scores[12:20, 0] = 1.0  # 0.2 s gap -> filled with min_duration_off=0.5
+    scores[30:35, 0] = 1.0  # 1.0 s gap -> kept separate
+    ann = rec.to_annotation(scores, frames, 0.5, 0.5, 0.0, 0.5)
+    assert len(ann.turns()) == 2
+
+
+# ---------------------------------------------------------------------------
+# end-to-end (small config, CPU)
+# ---------------------------------------------------------------------------
+
+
+SMALL_CFG = DiarizationConfig(
+    segmentation=SegmentationConfig(duration=1.0, step=0.5, num_frames=0, batch_size=4),
+)
+
+
+@pytest.fixture(scope="module")
+def small_pipeline():
+    from pyannote_audio_speaker_diarization_cpp_tpu.models.pyannet import (
+        PyanNetConfig,
+        pyannet_num_frames,
+    )
+
+    seg = SegmentationConfig(duration=1.0, step=0.5, batch_size=4)
+    cfg = DiarizationConfig(
+        segmentation=SegmentationConfig(
+            duration=1.0,
+            step=0.5,
+            batch_size=4,
+            num_frames=pyannet_num_frames(16000),
+        ),
+        chunk_bucket=4,
+    )
+    return SpeakerDiarizationPipeline(cfg, seed=0, seg_batch=4, emb_batch=6)
+
+
+def test_pipeline_runs_on_synthetic_audio(small_pipeline):
+    rng = np.random.default_rng(0)
+    audio = (0.1 * rng.normal(size=5 * 16000)).astype(np.float32)
+    ann = small_pipeline(audio)
+    # random weights: just require structural sanity
+    for t in ann.turns():
+        assert t.end > t.start >= 0.0
+    timings = small_pipeline.timings
+    assert timings.segmentation > 0 and timings.embedding > 0
+
+
+def test_pipeline_deterministic(small_pipeline):
+    rng = np.random.default_rng(1)
+    audio = (0.1 * rng.normal(size=3 * 16000)).astype(np.float32)
+    a1 = small_pipeline(audio)
+    a2 = small_pipeline(audio)
+    assert str(a1) == str(a2)
+
+
+def test_pipeline_accepts_stereo_and_resamples(small_pipeline):
+    rng = np.random.default_rng(2)
+    audio = (0.1 * rng.normal(size=(2, 2 * 8000))).astype(np.float32)
+    ann = small_pipeline(audio, sample_rate=8000)
+    assert ann is not None
+
+
+def test_pipeline_orphan_chunk_handling(small_pipeline):
+    rng = np.random.default_rng(3)
+    # 2.3 s -> orphan chunk of 0.3 s
+    audio = (0.1 * rng.normal(size=int(2.3 * 16000))).astype(np.float32)
+    ann = small_pipeline(audio)
+    assert ann is not None
