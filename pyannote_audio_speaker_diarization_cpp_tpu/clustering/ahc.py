@@ -25,17 +25,29 @@ from __future__ import annotations
 import numpy as np
 
 
-def linkage(embeddings: np.ndarray, method: str = "centroid") -> np.ndarray:
+def linkage(
+    embeddings: np.ndarray, method: str = "centroid", use_native: bool = True
+) -> np.ndarray:
     """(N, d) -> (N-1, 4) linkage matrix [id_a, id_b, dist, size].
 
     Global-minimum merge order over Euclidean centroid distances, matching
     scipy.cluster.hierarchy.linkage(method="centroid"|"single"|"average"|
-    "complete"|"ward", metric="euclidean").
+    "complete"|"ward", metric="euclidean"). Centroid linkage dispatches to
+    the native C++ fast-linkage (runtime/native) when built — the numpy path
+    is O(N^2) per merge and only comfortable up to a few thousand
+    embeddings.
     """
     X = np.asarray(embeddings, dtype=np.float64)
     n = X.shape[0]
     if n < 2:
         return np.zeros((0, 4))
+
+    if method == "centroid" and use_native and n >= 64:
+        from ..runtime import native_bindings
+
+        Z = native_bindings.linkage_centroid(X)
+        if Z is not None:
+            return Z
 
     # current inter-cluster distance matrix
     if method in ("centroid", "ward"):
@@ -54,12 +66,12 @@ def linkage(embeddings: np.ndarray, method: str = "centroid") -> np.ndarray:
     Z = np.zeros((n - 1, 4))
 
     for it in range(n - 1):
-        Dm = np.where(active[:, None] & active[None, :], D, np.inf)
-        flat = np.argmin(Dm)
+        # D rows/cols of dead slots are kept at +inf, so a plain argmin works
+        flat = np.argmin(D)
         i, j = divmod(flat, n)
         if i > j:
             i, j = j, i
-        d = Dm[i, j]
+        d = D[i, j]
         ida, idb = cluster_id[i], cluster_id[j]
         if ida > idb:
             ida, idb = idb, ida
@@ -69,9 +81,11 @@ def linkage(embeddings: np.ndarray, method: str = "centroid") -> np.ndarray:
         # merged cluster occupies slot i; slot j dies
         if method == "centroid":
             centroids[i] = (ni * centroids[i] + nj * centroids[j]) / (ni + nj)
-            diff = centroids[active] - centroids[i]
-            D[i, active] = np.sqrt(np.sum(diff * diff, axis=-1))
-            D[active, i] = D[i, active]
+            diff = centroids - centroids[i]
+            row = np.sqrt(np.sum(diff * diff, axis=-1))
+            row[~active] = np.inf
+            D[i, :] = row
+            D[:, i] = row
         elif method == "single":
             D[i, :] = np.minimum(D[i, :], D[j, :])
             D[:, i] = D[i, :]
@@ -93,6 +107,8 @@ def linkage(embeddings: np.ndarray, method: str = "centroid") -> np.ndarray:
             raise ValueError(f"unsupported linkage method: {method}")
         D[i, i] = np.inf
         active[j] = False
+        D[j, :] = np.inf
+        D[:, j] = np.inf
         size[i] = ni + nj
         cluster_id[i] = n + it
 

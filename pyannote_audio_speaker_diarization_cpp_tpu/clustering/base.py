@@ -50,10 +50,21 @@ def set_num_clusters(
     return num_clusters, min_c, max_c
 
 
-def filter_embeddings(embeddings: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def filter_embeddings(
+    embeddings: np.ndarray,
+    max_num_embeddings: Optional[int] = None,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Drop NaN rows; (chunks, speakers, d) -> (N, d) + index arrays
-    (Clustering.py:46-78)."""
+    (Clustering.py:46-78). Optionally subsample to ``max_num_embeddings``
+    (random, order-preserving — the pyannote BaseClustering cap)."""
     chunk_idx, speaker_idx = np.where(~np.any(np.isnan(embeddings), axis=2))
+    if max_num_embeddings is not None and len(chunk_idx) > max_num_embeddings:
+        rng = rng or np.random.default_rng(0)
+        keep = np.sort(
+            rng.permutation(len(chunk_idx))[:max_num_embeddings]
+        )
+        chunk_idx, speaker_idx = chunk_idx[keep], speaker_idx[keep]
     return embeddings[chunk_idx, speaker_idx], chunk_idx, speaker_idx
 
 
@@ -109,6 +120,9 @@ class AgglomerativeClustering:
 
     config: ClusteringConfig = dataclasses.field(default_factory=ClusteringConfig)
     constrained_assignment: bool = False
+    # pyannote BaseClustering caps the AHC train set (Clustering.py:18, 69-76);
+    # AgglomerativeClustering defaults to unlimited (Clustering.py:260)
+    max_num_embeddings: Optional[int] = None
 
     def cluster(
         self,
@@ -200,7 +214,7 @@ class AgglomerativeClustering:
         """(chunks, speakers, d) NaN-padded embeddings -> (hard, soft)
         cluster assignments (Clustering.py:167-238)."""
         train_embeddings, train_chunk_idx, train_speaker_idx = filter_embeddings(
-            embeddings
+            embeddings, max_num_embeddings=self.max_num_embeddings
         )
         num_embeddings = train_embeddings.shape[0]
         num_clusters, min_clusters, max_clusters = set_num_clusters(

@@ -60,15 +60,18 @@ def left_pack(waveforms: jnp.ndarray, imasks: jnp.ndarray) -> jnp.ndarray:
     """Gather samples where imask is set, left-packed, zero-padded.
 
     Equivalent to ``pad_sequence([w[m] for w, m in zip(wavs, masks)])`` padded
-    to the full window (segment/segment.py:289-292), as a stable sort: sort
-    each row by (1 - mask) — kept samples move to the front preserving order —
-    then zero the tail.
+    to the full window (segment/segment.py:289-292). Kept samples scatter to
+    position cumsum(mask)-1 (their packed index); dropped samples scatter to
+    a discard slot past the end. One O(n) cumsum + one scatter — cheaper on
+    TPU than the stable-sort formulation (no 80k-wide sort).
     """
     keep = imasks > 0.5
-    order = jnp.argsort(~keep, axis=-1, stable=True)
-    packed = jnp.take_along_axis(waveforms, order, axis=-1)
-    kept_sorted = jnp.take_along_axis(keep, order, axis=-1)
-    return jnp.where(kept_sorted, packed, 0.0)
+    n = waveforms.shape[-1]
+    pos = jnp.where(keep, jnp.cumsum(keep, axis=-1) - 1, n)
+    batch_idx = jnp.arange(waveforms.shape[0])[:, None]
+    out = jnp.zeros((waveforms.shape[0], n + 1), waveforms.dtype)
+    out = out.at[batch_idx, pos].set(jnp.where(keep, waveforms, 0.0), mode="drop")
+    return out[:, :n]
 
 
 def pack_and_lengths(

@@ -119,10 +119,15 @@ class SpeakerDiarizationPipeline:
             )
             return emb, too_short
 
-        def binarize_step(scores):
-            return bz.binarize_swf(
+        def post_seg_step(scores, min_num_frames):
+            """binarize + overlap cleaning + per-speaker mask choice, fused
+            into one dispatch."""
+            binarized = bz.binarize_swf(
                 scores, cfg.segmentation.onset, cfg.segmentation.offset
             )
+            cleaned = mk.clean_segmentations(binarized)
+            chosen = mk.choose_masks(binarized, cleaned, min_num_frames)
+            return binarized, chosen
 
         if self.mesh is not None:
             from ..parallel.sharding import shard_batch_step
@@ -132,7 +137,7 @@ class SpeakerDiarizationPipeline:
 
         self._seg_step = jax.jit(seg_step)
         self._emb_step = jax.jit(emb_step)
-        self._binarize = jax.jit(binarize_step)
+        self._post_seg = jax.jit(post_seg_step, static_argnums=1)
 
     def _batched(self, fn, arrays, batch: int, num_outputs: int = 1):
         """Run ``fn(params-free arrays...)`` over the leading axis in fixed
@@ -213,7 +218,10 @@ class SpeakerDiarizationPipeline:
             )
             segmentations = jnp.concatenate([segmentations[:-1], last], axis=0)
 
-        binarized = self._binarize(segmentations)
+        min_num_frames = math.ceil(
+            seg_cfg.num_frames * cfg.embedding.min_num_samples / seg_cfg.window_size
+        )
+        binarized, chosen = self._post_seg(segmentations, float(min_num_frames))
         chunk_frames = SlidingWindow(
             0.0, seg_cfg.step, seg_cfg.duration, num_samples=num_samples
         )
@@ -221,18 +229,13 @@ class SpeakerDiarizationPipeline:
             seg_cfg.frame_start, seg_cfg.frame_step, seg_cfg.frame_duration
         )
         count, count_frames = rec.speaker_count(
-            np.asarray(binarized), chunk_frames, frame_grid, num_samples, seg_cfg.warm_up
+            binarized, chunk_frames, frame_grid, num_samples, seg_cfg.warm_up
         )
         jax.block_until_ready(binarized)
         self.timings.segmentation = time.perf_counter() - t0
 
         # ---------- stage 2: embeddings ----------
         t0 = time.perf_counter()
-        min_num_frames = math.ceil(
-            seg_cfg.num_frames * cfg.embedding.min_num_samples / seg_cfg.window_size
-        )
-        cleaned = mk.clean_segmentations(binarized)
-        chosen = mk.choose_masks(binarized, cleaned, float(min_num_frames))
         # (chunks, speakers, frames) -> one row per (chunk, speaker)
         rows = chosen.reshape(-1, chosen.shape[-1])
         row_chunks = jnp.repeat(
