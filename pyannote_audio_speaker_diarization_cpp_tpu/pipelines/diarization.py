@@ -71,6 +71,7 @@ class SpeakerDiarizationPipeline:
         emb_batch: Optional[int] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
         precision=L.DEFAULT_PRECISION,
+        clusterer: Union[str, object] = "ahc",
     ):
         self.config = config
         self.pyannet_cfg = pyannet_mod.PyanNetConfig(
@@ -90,6 +91,16 @@ class SpeakerDiarizationPipeline:
         self.emb_batch = emb_batch or config.embedding.batch_size
         self.mesh = mesh
         self.precision = precision
+        if isinstance(clusterer, str):
+            if clusterer == "ahc":
+                clusterer = AgglomerativeClustering(config.clustering)
+            elif clusterer == "spectral":
+                from ..clustering.spectral import SpectralClustering
+
+                clusterer = SpectralClustering()
+            else:
+                raise ValueError(f"unknown clusterer: {clusterer!r}")
+        self.clusterer = clusterer
         self.timings = StageTimings()
         self._build_steps()
 
@@ -256,8 +267,7 @@ class SpeakerDiarizationPipeline:
 
         # ---------- stage 3: clustering + reconstruction ----------
         t0 = time.perf_counter()
-        clustering = AgglomerativeClustering(cfg.clustering)
-        hard, soft = clustering(
+        hard, soft = self.clusterer(
             embeddings,
             num_clusters=num_speakers or cfg.num_speakers,
             min_clusters=min_speakers or cfg.min_speakers,
