@@ -92,24 +92,37 @@ def stft_power(x: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
     Centered, constant(zero)-padded, unnormalized, onesided — the torch.stft
     configuration at speakerDiarizer.cpp:1980-2008 — followed by
     speechbrain.spectral_magnitude(power=1) == |X|^2.
+
+    TPU formulation: with hop h and window w = ceil(w/h)*h' the frame matrix
+    never needs materializing. Reshape the signal into (frames+k-1, hop)
+    blocks; frame f is the concatenation of blocks f..f+k-1, so the STFT is
+    k shifted GEMMs against basis slices — no im2col gather, ~w/h x less
+    HBM traffic. (The GEMM-native-NDFT idea; see PAPERS.md "MelT".)
     """
     basis, _ = _cached_constants(cfg)
     basis = jnp.asarray(basis, x.dtype)
-    pad = cfg.n_fft // 2
-    xp = jnp.pad(x, ((0, 0), (pad, pad)))
+    hop, w = cfg.hop_length, cfg.win_length
+    k = -(-w // hop)  # blocks per frame
     frames = num_stft_frames(x.shape[-1], cfg.hop_length)
-    idx = jnp.arange(frames)[:, None] * cfg.hop_length + jnp.arange(cfg.win_length)[None, :]
-    framed = xp[:, idx]  # (batch, frames, win)
+    pad_l = cfg.n_fft // 2
+    total = (frames + k - 1) * hop
+    xp = jnp.pad(x, ((0, 0), (pad_l, total - pad_l - x.shape[-1])))
+    blocks = xp.reshape(x.shape[0], frames + k - 1, hop)
     # Full f32 precision on the MXU: the embedding stage is numerically
     # chaos-sensitive downstream (clustering threshold, reference
     # README.md:99-101), so the front-end must not run at bf16 default.
-    spec = jnp.einsum(
-        "bfw,wk->bfk",
-        framed,
-        basis,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    spec = None
+    for i in range(k):
+        lo = i * hop
+        hi = min(lo + hop, w)
+        part = jnp.einsum(
+            "bfh,hk->bfk",
+            blocks[:, i : i + frames, : hi - lo],
+            basis[lo:hi],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        spec = part if spec is None else spec + part
     nf = cfg.num_freqs
     re, im = spec[..., :nf], spec[..., nf:]
     return re * re + im * im

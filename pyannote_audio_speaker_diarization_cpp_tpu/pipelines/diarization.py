@@ -72,6 +72,7 @@ class SpeakerDiarizationPipeline:
         mesh: Optional[jax.sharding.Mesh] = None,
         precision=L.DEFAULT_PRECISION,
         clusterer: Union[str, object] = "ahc",
+        frontend_backend: str = "jnp",
     ):
         self.config = config
         self.pyannet_cfg = pyannet_mod.PyanNetConfig(
@@ -101,6 +102,9 @@ class SpeakerDiarizationPipeline:
             else:
                 raise ValueError(f"unknown clusterer: {clusterer!r}")
         self.clusterer = clusterer
+        # "jnp" (default; XLA already fuses the chain) or "pallas" (the
+        # explicit fused kernel in ops/frontend_pallas.py)
+        self.frontend_backend = frontend_backend
         self.timings = StageTimings()
         self._build_steps()
 
@@ -124,7 +128,12 @@ class SpeakerDiarizationPipeline:
                 cfg.embedding.mask_threshold,
                 cfg.embedding.min_num_samples,
             )
-            feats = fe.compute_features(signals, wav_lens, cfg.frontend)
+            if self.frontend_backend == "pallas":
+                from ..ops.frontend_pallas import compute_features_pallas
+
+                feats = compute_features_pallas(signals, wav_lens, cfg.frontend)
+            else:
+                feats = fe.compute_features(signals, wav_lens, cfg.frontend)
             emb = ecapa_mod.ecapa_forward(
                 params, feats, wav_lens, self.ecapa_cfg, precision=precision
             )
