@@ -16,6 +16,16 @@ import time
 
 import numpy as np
 
+# persistent XLA compilation cache: the heavy PyanNet/ECAPA compiles happen
+# once per machine, not once per process
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REFERENCE_WAV = "/root/reference/pipeline/data/multi-speaker_1min.wav"
 BASELINE_WALL_S = 356.0
 

