@@ -9,7 +9,9 @@ scatter-add over a precomputed index grid.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -82,3 +84,29 @@ def aggregate(
     if not skip_average:
         agg = agg / jnp.maximum(count, epsilon)
     return jnp.where(seen == 0.0, jnp.asarray(missing, scores.dtype), agg)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _aggregate_jit(scores, start_frames, num_frames, missing, skip_average):
+    return aggregate(
+        scores, start_frames, num_frames, missing=missing, skip_average=skip_average
+    )
+
+
+def aggregate_compiled(
+    scores,
+    start_frames,
+    num_frames: int,
+    missing: float = np.nan,
+    skip_average: bool = False,
+) -> jnp.ndarray:
+    """Jitted aggregate for host-driven callers: one device dispatch instead
+    of ~10 eager ops (eager dispatch latency dominates small aggregations on
+    remote-tunnel TPU backends)."""
+    return _aggregate_jit(
+        jnp.asarray(scores),
+        jnp.asarray(start_frames),
+        int(num_frames),
+        float(missing),
+        bool(skip_average),
+    )

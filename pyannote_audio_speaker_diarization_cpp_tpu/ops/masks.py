@@ -14,7 +14,9 @@ which XLA lowers to an on-device sort — no ragged tensors.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def clean_segmentations(binarized: jnp.ndarray) -> jnp.ndarray:
@@ -74,6 +76,52 @@ def left_pack(waveforms: jnp.ndarray, imasks: jnp.ndarray) -> jnp.ndarray:
     return out[:, :n]
 
 
+def pack_frame_runs(
+    waveforms: jnp.ndarray,
+    keep_frames: jnp.ndarray,
+    num_samples: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Left-pack whole sample-runs of kept frames; returns (packed, lens).
+
+    Exact equivalent of nearest-upsampling a {0,1} frame mask to sample level
+    and left-packing the kept samples (the binarized masks the pipeline
+    passes are always 0/1, so kept samples are exactly the sample-runs of
+    kept frames). Works on (num_frames,)-sized tables plus one ordered
+    gather — avoiding the 80k-wide scatter, which costs ~13ms/batch on TPU.
+    """
+    num_frames = keep_frames.shape[-1]
+    # static per (num_frames, num_samples): samples per frame under
+    # out[i] = in[floor(i * F / n)]
+    src = (np.arange(num_samples) * num_frames) // num_samples
+    run_len = np.bincount(src, minlength=num_frames).astype(np.int32)
+    orig_start = np.concatenate([[0], np.cumsum(run_len)[:-1]]).astype(np.int32)
+
+    keep = keep_frames > 0.5
+    packed_len = jnp.where(keep, jnp.asarray(run_len), 0)
+    packed_cum = jnp.cumsum(packed_len, axis=-1)  # inclusive
+    lens = packed_cum[..., -1]
+
+    # source[j] = j + offset(j) where offset is a step function that jumps to
+    # (orig_start[f] - packed_start[f]) at each kept frame's packed_start.
+    # Kept frames have strictly increasing packed_start, offsets are
+    # non-decreasing -> a (num_frames,)-sized scatter-max + cummax recovers
+    # the step function with no search.
+    packed_start = packed_cum - packed_len
+    offset_f = jnp.asarray(orig_start) - packed_start
+    batch = waveforms.shape[0]
+    scatter_idx = jnp.where(keep, packed_start, num_samples)
+    A = jnp.full((batch, num_samples + 1), jnp.iinfo(jnp.int32).min, jnp.int32)
+    A = A.at[jnp.arange(batch)[:, None], scatter_idx].max(
+        jnp.where(keep, offset_f, jnp.iinfo(jnp.int32).min).astype(jnp.int32),
+        mode="drop",
+    )
+    offset = jax.lax.cummax(A[:, :num_samples], axis=1)
+    j = jnp.arange(num_samples)
+    source = jnp.clip(j[None, :] + offset, 0, num_samples - 1)
+    packed = jnp.take_along_axis(waveforms, source, axis=-1)
+    return jnp.where(j[None, :] < lens[:, None], packed, 0.0), lens
+
+
 def pack_and_lengths(
     waveforms: jnp.ndarray,
     masks: jnp.ndarray,
@@ -102,6 +150,8 @@ def pack_and_lengths(
         (segment/segment.py:298-303).
     """
     num_samples = waveforms.shape[-1]
+    # (pack_frame_runs is the frame-granular equivalent; end-to-end benches
+    # on v5e favor the scatter formulation inside the fused embedding step)
     imasks = interpolate_nearest(masks, num_samples) > mask_threshold
     signals = left_pack(waveforms, imasks.astype(waveforms.dtype))
     lens = jnp.sum(imasks, axis=-1)

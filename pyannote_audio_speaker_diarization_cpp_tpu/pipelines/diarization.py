@@ -415,9 +415,10 @@ class SpeakerDiarizationPipeline:
         embeddings = embeddings.reshape(num_chunks, seg_cfg.num_speakers, -1)
         self.timings.embedding = time.perf_counter() - t0
 
-        # trim bucket padding off the host-visible segmentation tensors
-        segmentations = segmentations[:num_chunks]
-        binarized = binarized[:num_chunks]
+        # trim bucket padding; fetch both tensors to host in one transfer
+        segmentations, binarized = jax.device_get(
+            (segmentations[:num_chunks], binarized[:num_chunks])
+        )
 
         # ---------- stage 3: clustering + reconstruction ----------
         t0 = time.perf_counter()
@@ -429,13 +430,12 @@ class SpeakerDiarizationPipeline:
         )
 
         # inactive local speakers -> -2 (speakerDiarizer.cpp:3166-3191)
-        binarized_np = np.asarray(binarized)
-        inactive = binarized_np.sum(axis=1) == 0
+        inactive = binarized.sum(axis=1) == 0
         hard = np.asarray(hard)
         hard[inactive] = -2
 
         discrete, discrete_frames = rec.reconstruct(
-            np.asarray(segmentations), chunk_frames, hard, count, count_frames
+            segmentations, chunk_frames, hard, count, count_frames
         )
         annotation = rec.to_annotation(
             discrete,

@@ -21,7 +21,7 @@ from ..config import SegmentationConfig
 from ..core.annotation import Annotation
 from ..core.segment import Segment
 from ..core.sliding_window import SlidingWindow
-from ..ops.aggregate import aggregate, plan_aggregation
+from ..ops.aggregate import aggregate_compiled, plan_aggregation
 
 
 def trim(
@@ -61,12 +61,8 @@ def speaker_count(
     plan = plan_aggregation(
         summed.shape[0], trimmed_frames, frame_grid, num_samples=num_samples
     )
-    count = aggregate(
-        jnp.asarray(summed),
-        jnp.asarray(plan.start_frames),
-        plan.num_frames,
-        missing=0.0,
-        skip_average=False,
+    count = aggregate_compiled(
+        summed, plan.start_frames, plan.num_frames, missing=0.0, skip_average=False
     )
     count = np.rint(np.asarray(count)[:, 0]).astype(np.int64)
     return count, plan.frames
@@ -127,9 +123,9 @@ def to_diarization(
     num_chunks = clustered.shape[0]
     plan = plan_aggregation(num_chunks, chunk_frames, count_frames)
     activations = np.asarray(
-        aggregate(
-            jnp.asarray(clustered),
-            jnp.asarray(plan.start_frames),
+        aggregate_compiled(
+            clustered.astype(np.float32),
+            plan.start_frames,
             plan.num_frames,
             missing=0.0,
             skip_average=True,

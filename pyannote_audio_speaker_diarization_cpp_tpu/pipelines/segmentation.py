@@ -128,8 +128,8 @@ class SegmentationPipeline:
             len(swf), swf.sliding_window, frame_grid, waveform.shape[0]
         )
         activations = np.asarray(
-            agg.aggregate(
-                jnp.asarray(swf.data), jnp.asarray(plan.start_frames), plan.num_frames,
+            agg.aggregate_compiled(
+                swf.data.astype(np.float32), plan.start_frames, plan.num_frames,
                 missing=0.0,
             )
         )

@@ -234,6 +234,27 @@ def test_choose_masks():
     np.testing.assert_array_equal(chosen[0, 1], binarized[0, :, 1])
 
 
+def test_pack_frame_runs_matches_sample_level_pack():
+    """Frame-run packing must exactly equal upsample+threshold+scatter."""
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        wav = rng.normal(size=(4, 8000)).astype(np.float32)
+        masks = (rng.uniform(size=(4, 29)) > 0.4).astype(np.float32)
+        if trial == 2:
+            masks = rng.uniform(size=(4, 29)).astype(np.float32)  # non-binary
+        imasks = mk.interpolate_nearest(jnp.asarray(masks), 8000) > 0.5
+        expected = np.asarray(
+            mk.left_pack(jnp.asarray(wav), imasks.astype(jnp.float32))
+        )
+        packed, lens = mk.pack_frame_runs(
+            jnp.asarray(wav), jnp.asarray(masks) > 0.5, 8000
+        )
+        np.testing.assert_array_equal(np.asarray(packed), expected)
+        np.testing.assert_array_equal(
+            np.asarray(lens), np.asarray(imasks).sum(axis=1)
+        )
+
+
 def test_pack_and_lengths():
     rng = np.random.default_rng(3)
     wav = rng.normal(size=(2, 1000)).astype(np.float32)
