@@ -344,7 +344,11 @@ class SpeakerDiarizationPipeline:
         num_speakers: Optional[int] = None,
         min_speakers: Optional[int] = None,
         max_speakers: Optional[int] = None,
+        dump=None,
     ) -> Annotation:
+        """``dump``: optional utils.debug_dump.DumpSession recording the
+        canonical pipeline intermediates under the reference's names
+        (SURVEY.md section 4.3 checklist) for differential verification."""
         cfg = self.config
         seg_cfg = cfg.segmentation
         sr = seg_cfg.sample_rate
@@ -414,11 +418,17 @@ class SpeakerDiarizationPipeline:
         embeddings[np.asarray(too_short[: num_chunks * seg_cfg.num_speakers])] = np.nan
         embeddings = embeddings.reshape(num_chunks, seg_cfg.num_speakers, -1)
         self.timings.embedding = time.perf_counter() - t0
+        if dump is not None:
+            dump.dump("embeddings", embeddings)
 
         # trim bucket padding; fetch both tensors to host in one transfer
         segmentations, binarized = jax.device_get(
             (segmentations[:num_chunks], binarized[:num_chunks])
         )
+        if dump is not None:
+            dump.dump("segmentations", segmentations)
+            dump.dump("binarized_segmentations", binarized)
+            dump.dump("count", count)
 
         # ---------- stage 3: clustering + reconstruction ----------
         t0 = time.perf_counter()
@@ -434,9 +444,14 @@ class SpeakerDiarizationPipeline:
         hard = np.asarray(hard)
         hard[inactive] = -2
 
+        if dump is not None:
+            dump.dump("hard_clusters", hard)
+            dump.dump("soft_clusters", soft)
         discrete, discrete_frames = rec.reconstruct(
             segmentations, chunk_frames, hard, count, count_frames
         )
+        if dump is not None:
+            dump.dump("discrete_diarization", discrete)
         annotation = rec.to_annotation(
             discrete,
             discrete_frames,
