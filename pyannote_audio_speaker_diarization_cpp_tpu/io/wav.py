@@ -22,6 +22,7 @@ class WavData:
     samples: np.ndarray  # (num_channels, num_samples) float32, raw amplitude
     sample_rate: int
     bits_per_sample: int
+    is_float: bool = False  # IEEE-float data is already in [-1, 1]
 
     @property
     def num_channels(self) -> int:
@@ -37,6 +38,8 @@ class WavData:
 
     def normalized_mono(self) -> np.ndarray:
         """Channel-averaged waveform scaled to [-1, 1] float32."""
+        if self.is_float:
+            return self.samples.mean(axis=0).astype(np.float32)
         scale = float(1 << (self.bits_per_sample - 1)) if self.bits_per_sample > 0 else 1.0
         return (self.samples.mean(axis=0) / scale).astype(np.float32)
 
@@ -76,9 +79,14 @@ def read_wav(path_or_file: Union[str, BinaryIO]) -> WavData:
         raise ValueError("fmt chunk missing")
     audio_format, num_channels, sample_rate, _byte_rate, _block_align, bits = fmt
 
-    if audio_format == 3 or bits == 32 and audio_format == 3:
-        data = np.frombuffer(raw, dtype=np.float32).astype(np.float32)
-        bits = 32
+    is_float = audio_format == 3
+    if is_float:
+        if bits == 32:
+            data = np.frombuffer(raw, dtype=np.float32).astype(np.float32)
+        elif bits == 64:
+            data = np.frombuffer(raw, dtype=np.float64).astype(np.float32)
+        else:
+            raise ValueError(f"unsupported float bits_per_sample: {bits}")
     elif bits in _PCM_DTYPES:
         data = np.frombuffer(raw, dtype=_PCM_DTYPES[bits]).astype(np.float32)
         if bits == 8:
@@ -88,7 +96,12 @@ def read_wav(path_or_file: Union[str, BinaryIO]) -> WavData:
 
     usable = (len(data) // num_channels) * num_channels
     samples = data[:usable].reshape(-1, num_channels).T.copy()
-    return WavData(samples=samples, sample_rate=sample_rate, bits_per_sample=bits)
+    return WavData(
+        samples=samples,
+        sample_rate=sample_rate,
+        bits_per_sample=bits,
+        is_float=is_float,
+    )
 
 
 def _wav_header(num_samples: int, num_channels: int, sample_rate: int, bits: int) -> bytes:

@@ -72,7 +72,9 @@ def diarization_error_rate(
     skip_overlap: bool = False,
 ) -> DERComponents:
     """Compute DER components between two annotations."""
-    times = _boundaries(reference) | _boundaries(hypothesis)
+    # collar edges must be grid points so scoring intervals never straddle
+    # the forgiven region
+    times = _boundaries(reference, collar=collar) | _boundaries(hypothesis)
     if not times:
         return DERComponents(0.0, 0.0, 0.0, 0.0)
     grid = np.array(sorted(times))

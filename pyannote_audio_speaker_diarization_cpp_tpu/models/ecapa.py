@@ -114,15 +114,16 @@ def _tdnn_block(x, p, dilation=1, precision=L.DEFAULT_PRECISION):
 
 
 def _res2net_block(x, p, kernel, dilation, scale, precision):
-    width = x.shape[1] // scale
+    """speechbrain Res2NetBlock ordering: split 0 passes through unchanged,
+    block j-1 processes split j (accumulating the previous block's OUTPUT
+    from split 2 on): y0 = x0; y1 = b0(x1); yi = b_{i-1}(x_i + y_{i-1})."""
     parts = jnp.split(x, scale, axis=1)
-    outs = []
+    outs = [parts[0]]
     y = None
-    for i in range(scale - 1):
-        y = parts[i] if i == 0 else y + parts[i]
-        y = _tdnn_block(y, p["blocks"][i], dilation=dilation, precision=precision)
+    for i in range(1, scale):
+        xi = parts[i] if i == 1 else parts[i] + y
+        y = _tdnn_block(xi, p["blocks"][i - 1], dilation=dilation, precision=precision)
         outs.append(y)
-    outs.append(parts[-1])
     return jnp.concatenate(outs, axis=1)
 
 

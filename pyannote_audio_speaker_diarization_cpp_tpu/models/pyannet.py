@@ -136,10 +136,11 @@ def sinc_filters(p: Dict, cfg: PyanNetConfig) -> jnp.ndarray:
 
     half = (cfg.kernel_size - 1) // 2
     n_ = 2 * jnp.pi * jnp.arange(-half, 0.0)[None, :] / cfg.sample_rate
-    # hamming window over the left half
-    window = 0.54 - 0.46 * jnp.cos(
-        2 * jnp.pi * jnp.arange(half) / cfg.kernel_size
-    )
+    # hamming window over the left half; SincNet uses
+    # linspace(0, kernel_size/2 - 1, half) — non-integer spacing — not
+    # arange(half), and converted checkpoints depend on the exact taps
+    n_lin = jnp.linspace(0.0, cfg.kernel_size / 2 - 1, half)
+    window = 0.54 - 0.46 * jnp.cos(2 * jnp.pi * n_lin / cfg.kernel_size)
 
     f_low = low * n_
     f_high = high * n_

@@ -51,7 +51,7 @@ def _packed_constants(cfg: FrontendConfig):
     return packed, melp, k
 
 
-def _kernel(x_ref, b1_ref, b2_ref, b3_ref, mel_ref, out_ref, *, frames, amin, mult):
+def _kernel(x_ref, b1_ref, b2_ref, b3_ref, mel_ref, out_ref, *, frames, amin, mult, db_off):
     xb = x_ref[0]  # (blocks_padded, hop)
     hi = jax.lax.Precision.HIGHEST  # full f32 on the MXU (not bf16 passes)
     spec = jnp.dot(xb[0:frames], b1_ref[:], preferred_element_type=jnp.float32, precision=hi)
@@ -61,7 +61,7 @@ def _kernel(x_ref, b1_ref, b2_ref, b3_ref, mel_ref, out_ref, *, frames, amin, mu
     im = spec[:, _LANE_HALF:]
     power = re * re + im * im
     fb = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32, precision=hi)
-    out_ref[0] = mult * jnp.log10(jnp.maximum(fb, amin))
+    out_ref[0] = mult * jnp.log10(jnp.maximum(fb, amin)) - db_off
 
 
 def log_mel_spectrogram(
@@ -89,6 +89,12 @@ def log_mel_spectrogram(
             frames=frames_p,
             amin=float(cfg.amin),
             mult=10.0 if cfg.power_spectrogram == 2 else 20.0,
+            # '- multiplier * db_multiplier' epilogue term, matching
+            # ops.frontend.log_mel for any ref_value
+            db_off=float(
+                (10.0 if cfg.power_spectrogram == 2 else 20.0)
+                * np.log10(max(cfg.amin, cfg.ref_value))
+            ),
         ),
         out_shape=jax.ShapeDtypeStruct((batch, frames_p, cfg.n_mels), jnp.float32),
         grid=(batch,),

@@ -37,10 +37,12 @@ def chunk_waveform(
 
     The waveform must already be zero-padded to at least
     ``(num_chunks - 1) * step_size + window_size`` samples; the orphan last
-    chunk therefore arrives zero-padded on the *input* side (the reference
-    instead runs the short chunk and zero-pads the model *output*,
-    segment/segment.py:103-108 — see PyanNet.valid_frames for how we mask the
-    padded tail back out).
+    chunk therefore arrives zero-padded on the *input* side. The reference
+    instead runs the short chunk and zero-pads the model *output*
+    (segment/segment.py:103-108); because PyanNet instance-normalizes over
+    time, the padded-input scores deviate slightly (~0.008 sigmoid) on the
+    orphan's valid frames — the pipeline masks the padded tail and offers
+    exact_orphan=True for reference-exact behavior.
     """
     needed = (num_chunks - 1) * step_size + window_size
     pad = needed - waveform.shape[0]

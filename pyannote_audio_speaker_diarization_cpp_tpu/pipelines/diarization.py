@@ -80,6 +80,7 @@ class SpeakerDiarizationPipeline:
         precision=jax.lax.Precision.DEFAULT,
         clusterer: Union[str, object] = "ahc",
         frontend_backend: str = "jnp",
+        exact_orphan: bool = False,
     ):
         self.config = config
         self.pyannet_cfg = pyannet_mod.PyanNetConfig(
@@ -112,6 +113,13 @@ class SpeakerDiarizationPipeline:
         # "jnp" (default; XLA already fuses the chain) or "pallas" (the
         # explicit fused kernel in ops/frontend_pallas.py)
         self.frontend_backend = frontend_backend
+        # The orphan (short last) chunk is zero-padded on the input side by
+        # default; PyanNet's instance norms see the padding, so its valid
+        # frames deviate from reference short-input inference by up to
+        # ~0.008 sigmoid (one chunk, edge of audio). exact_orphan=True
+        # reproduces the reference exactly by running the orphan at its true
+        # length — at the cost of one jit compile per distinct orphan length.
+        self.exact_orphan = exact_orphan
         self.timings = StageTimings()
         self._build_steps()
 
@@ -261,20 +269,12 @@ class SpeakerDiarizationPipeline:
             [blocks[i : i + num_chunks] for i in range(window // step)], axis=1
         )
 
-    def _stage1_loop(self, wav_dev, valid_frames):
+    def _post_from_scores(self, segs, valid_frames):
+        """Eager binarize + mask choice + count from (padded) scores —
+        shared by the mesh path and the exact-orphan parity path."""
         cfg = self.config
         seg_cfg = cfg.segmentation
         num_padded = valid_frames.shape[0]
-        chunks = self._eager_chunks(wav_dev, num_padded)
-        segs = self._batched(
-            lambda c: self._seg_step(self.params["segmentation"], c),
-            [chunks],
-            self.seg_batch,
-        )
-        frame_idx = jnp.arange(seg_cfg.num_frames)
-        segs = jnp.where(
-            (frame_idx[None, :] < valid_frames[:, None])[..., None], segs, 0.0
-        )
         binarized = bz.binarize_swf(segs, seg_cfg.onset, seg_cfg.offset)
         cleaned = mk.clean_segmentations(binarized)
         min_num_frames = float(
@@ -296,6 +296,22 @@ class SpeakerDiarizationPipeline:
             missing=0.0,
             skip_average=False,
         )[:, 0]
+        return binarized, chosen, count_raw
+
+    def _stage1_loop(self, wav_dev, valid_frames):
+        seg_cfg = self.config.segmentation
+        num_padded = valid_frames.shape[0]
+        chunks = self._eager_chunks(wav_dev, num_padded)
+        segs = self._batched(
+            lambda c: self._seg_step(self.params["segmentation"], c),
+            [chunks],
+            self.seg_batch,
+        )
+        frame_idx = jnp.arange(seg_cfg.num_frames)
+        segs = jnp.where(
+            (frame_idx[None, :] < valid_frames[:, None])[..., None], segs, 0.0
+        )
+        binarized, chosen, count_raw = self._post_from_scores(segs, valid_frames)
         return segs, binarized, chosen, count_raw
 
     def _stage2_loop(self, wav_dev, chosen):
@@ -356,11 +372,11 @@ class SpeakerDiarizationPipeline:
         # ---------- load ----------
         if isinstance(audio, str):
             data = wavio.read_wav(audio)
-            waveform = rs.downmix(data.samples)
+            waveform = data.normalized_mono()
             if data.sample_rate != sr:
-                waveform = rs.resample(waveform, data.sample_rate, sr)
-            scale = float(1 << (data.bits_per_sample - 1))
-            waveform = (waveform / scale).astype(np.float32)
+                waveform = rs.resample(waveform, data.sample_rate, sr).astype(
+                    np.float32
+                )
         else:
             waveform = np.asarray(audio, dtype=np.float32)
             if waveform.ndim == 2:
@@ -373,8 +389,10 @@ class SpeakerDiarizationPipeline:
         t0 = time.perf_counter()
         num_chunks = win.chunk_count(num_samples, seg_cfg.window_size, seg_cfg.step_size)
         # pad the chunk axis to the batch lattice so jit sees one shape per
-        # bucket; padded chunks are masked out (valid_frames = 0)
-        bucket = math.lcm(self.seg_batch, self.emb_batch)
+        # bucket; padded chunks are masked out (valid_frames = 0).
+        # config.chunk_bucket coarsens the lattice to bound the number of
+        # distinct compiled shapes across audio lengths.
+        bucket = math.lcm(self.seg_batch, self.emb_batch, max(cfg.chunk_bucket, 1))
         num_padded = _ceil_to(num_chunks, bucket)
         needed = (num_padded - 1) * seg_cfg.step_size + seg_cfg.window_size
         wav_padded = np.zeros(needed, dtype=np.float32)
@@ -400,6 +418,27 @@ class SpeakerDiarizationPipeline:
             segmentations, binarized, chosen, count_raw = self._stage1_loop(
                 wav_dev, vf_dev
             )
+        if self.exact_orphan and orphan_samples < seg_cfg.window_size:
+            # reference-exact orphan handling: run the short chunk at its
+            # true length (segment/segment.py:103-108) and redo the host-side
+            # post-processing with the patched scores
+            valid = int(valid_frames[num_chunks - 1])
+            if valid > 0:
+                orphan = jnp.asarray(
+                    waveform[(num_chunks - 1) * seg_cfg.step_size :][None, :]
+                )
+                scores_o = jax.jit(
+                    lambda p, w: pyannet_mod.pyannet_forward(
+                        p, w, self.pyannet_cfg, precision=self.precision
+                    )
+                )(self.params["segmentation"], orphan)
+                patched = jnp.zeros(
+                    (seg_cfg.num_frames, seg_cfg.num_speakers), segmentations.dtype
+                ).at[:valid].set(scores_o[0, :valid])
+                segmentations = segmentations.at[num_chunks - 1].set(patched)
+                binarized, chosen, count_raw = self._post_from_scores(
+                    segmentations, vf_dev
+                )
         # the count grid for the real chunk count is a prefix of the padded
         # grid (same start/step; NaN-masked padding contributes nothing)
         real_plan = self._count_plan(num_chunks)

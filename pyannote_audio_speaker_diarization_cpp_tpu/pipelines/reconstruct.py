@@ -84,17 +84,15 @@ def reconstruct(
     num_clusters = int(np.max(hard_clusters)) + 1
 
     # clustered[i, f, k] = max over local speakers assigned to cluster k,
-    # NaN where a cluster has no speaker in the chunk (:2816-2838)
-    member = (
-        hard_clusters[:, :, None] == np.arange(num_clusters)[None, None, :]
-    )  # (chunks, speakers, K)
-    scores = np.where(
-        member[:, None, :, :],
-        segmentations[:, :, :, None],
-        -np.inf,
-    )  # (chunks, frames, speakers, K)
-    clustered = scores.max(axis=2)
-    clustered[~np.any(member, axis=1)[:, None, :].repeat(num_frames, axis=1)] = np.nan
+    # NaN where a cluster has no speaker in the chunk (:2816-2838).
+    # K-iteration masked max keeps host memory at O(chunks*frames*speakers)
+    # instead of a dense 4-D (chunks, frames, speakers, K) temporary.
+    clustered = np.full((num_chunks, num_frames, num_clusters), np.nan)
+    for k in range(num_clusters):
+        member_k = hard_clusters == k  # (chunks, speakers)
+        has_k = member_k.any(axis=1)
+        masked = np.where(member_k[:, None, :], segmentations, -np.inf)
+        clustered[has_k, :, k] = masked.max(axis=2)[has_k]
 
     return to_diarization(clustered, chunk_frames, count, count_frames)
 

@@ -107,12 +107,11 @@ class SegmentationPipeline:
         seg_cfg = cfg.segmentation
         if isinstance(audio, str):
             data = wavio.read_wav(audio)
-            waveform = rs.downmix(data.samples)
+            waveform = data.normalized_mono()
             if data.sample_rate != seg_cfg.sample_rate:
-                waveform = rs.resample(waveform, data.sample_rate, seg_cfg.sample_rate)
-            waveform = (waveform / float(1 << (data.bits_per_sample - 1))).astype(
-                np.float32
-            )
+                waveform = rs.resample(
+                    waveform, data.sample_rate, seg_cfg.sample_rate
+                ).astype(np.float32)
         else:
             waveform = np.asarray(audio, dtype=np.float32)
             if waveform.ndim == 2:

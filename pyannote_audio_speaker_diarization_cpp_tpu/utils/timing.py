@@ -22,13 +22,21 @@ class StageTimer:
         self.times: Dict[str, float] = {}
 
     @contextlib.contextmanager
-    def time(self, name: str, block_on=None):
+    def time(self, name: str):
+        """Times a block; yields a one-slot list — append device values to
+        fence them before the timer stops:
+
+            with timer.time("seg") as fence:
+                out = model(x)
+                fence.append(out)
+        """
+        fence: list = []
         t0 = time.perf_counter()
         try:
-            yield
+            yield fence
         finally:
-            if block_on is not None:
-                jax.block_until_ready(block_on)
+            if fence:
+                jax.block_until_ready(fence)
             self.times[name] = self.times.get(name, 0.0) + time.perf_counter() - t0
 
     def report(self) -> str:

@@ -131,12 +131,13 @@ class TorchSERes2Net(nn.Module):
         residual = x
         y = self.tdnn1(x)
         parts = torch.split(y, y.shape[1] // self.scale, dim=1)
-        outs, sp = [], None
-        for i, blk in enumerate(self.blocks):
-            sp = parts[i] if i == 0 else sp + parts[i]
-            sp = blk(sp)
-            outs.append(sp)
-        outs.append(parts[-1])
+        # speechbrain Res2NetBlock: split 0 is identity, block j-1 processes
+        # split j with accumulation of the previous block's output
+        outs, yp = [parts[0]], None
+        for i in range(1, self.scale):
+            xi = parts[i] if i == 1 else parts[i] + yp
+            yp = self.blocks[i - 1](xi)
+            outs.append(yp)
         y = torch.cat(outs, dim=1)
         y = self.tdnn2(y)
         total = mask.sum(dim=2, keepdim=True)
