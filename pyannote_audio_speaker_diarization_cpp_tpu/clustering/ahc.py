@@ -22,32 +22,53 @@ Semantics notes:
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 
 def linkage(
-    embeddings: np.ndarray, method: str = "centroid", use_native: bool = True
+    embeddings: np.ndarray,
+    method: str = "centroid",
+    use_native: Optional[bool] = None,
+    backend: str = "auto",
 ) -> np.ndarray:
     """(N, d) -> (N-1, 4) linkage matrix [id_a, id_b, dist, size].
 
     Global-minimum merge order over Euclidean centroid distances, matching
     scipy.cluster.hierarchy.linkage(method="centroid"|"single"|"average"|
-    "complete"|"ward", metric="euclidean"). Centroid linkage dispatches to
-    the native C++ fast-linkage (runtime/native) when built — the numpy path
-    is O(N^2) per merge and only comfortable up to a few thousand
-    embeddings.
+    "complete"|"ward", metric="euclidean").
+
+    backend: "auto" (scipy's C fast_linkage when importable — it is the
+    exact algorithm the reference hand-ported, clustering.cpp:289 — then
+    native, then numpy), "scipy", "native" (C++ runtime/native, centroid
+    only), or "numpy" (the in-tree global-argmin implementation, kept as the
+    dependency-free oracle). ``use_native`` is the legacy switch:
+    True -> "native", False -> "numpy".
     """
     X = np.asarray(embeddings, dtype=np.float64)
     n = X.shape[0]
     if n < 2:
         return np.zeros((0, 4))
 
-    if method == "centroid" and use_native and n >= 64:
+    if use_native is not None:
+        backend = "native" if use_native else "numpy"
+    if backend in ("auto", "scipy"):
+        try:
+            from scipy.cluster.hierarchy import linkage as scipy_linkage
+
+            return scipy_linkage(X, method=method, metric="euclidean")
+        except ImportError:
+            if backend == "scipy":
+                raise
+    if method == "centroid" and backend in ("auto", "native") and n >= 64:
         from ..runtime import native_bindings
 
         Z = native_bindings.linkage_centroid(X)
         if Z is not None:
             return Z
+        if backend == "native":
+            raise RuntimeError("native linkage backend unavailable")
 
     # current inter-cluster distance matrix
     if method in ("centroid", "ward"):

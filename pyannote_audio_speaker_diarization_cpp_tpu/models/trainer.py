@@ -68,7 +68,14 @@ class Trainer:
         steps: Optional[int] = None,
         log_every: int = 50,
         log_fn=print,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 500,
     ):
+        manager = None
+        if checkpoint_dir is not None:
+            from ..utils.checkpoint import CheckpointManager
+
+            manager = CheckpointManager(checkpoint_dir)
         losses = []
         for i, batch in enumerate(batches):
             if steps is not None and i >= steps:
@@ -78,7 +85,31 @@ class Trainer:
             if log_every and (i + 1) % log_every == 0:
                 recent = sum(losses[-log_every:]) / min(log_every, len(losses))
                 log_fn(f"step {i + 1}: loss {recent:.4f}")
+            if manager is not None and checkpoint_every and (
+                int(self.state.step) % checkpoint_every == 0
+            ):
+                manager.save(int(self.state.step), self.state)
+        if manager is not None:
+            manager.save(int(self.state.step), self.state)
         return losses
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (the reference persists only immutable ONNX
+    # blobs, speakerDiarizer.cpp:2958/:3043 — training state needs more)
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, directory: str) -> str:
+        from ..utils.checkpoint import CheckpointManager
+
+        return CheckpointManager(directory).save(int(self.state.step), self.state)
+
+    def restore_checkpoint(self, directory: str, step: Optional[int] = None) -> int:
+        """Restore the full TrainState (params + optimizer state + step)
+        in place; returns the restored step number."""
+        from ..utils.checkpoint import CheckpointManager
+
+        self.state, step = CheckpointManager(directory).restore(self.state, step)
+        return step
 
     @property
     def params(self):

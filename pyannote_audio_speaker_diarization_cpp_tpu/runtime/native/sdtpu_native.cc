@@ -57,7 +57,7 @@ int sdtpu_linkage_centroid(const double* X, int n, int d, double* Z) {
     double best = std::numeric_limits<double>::infinity();
     int best_j = -1;
     const double* ci = &centroids[(size_t)i * d];
-#pragma omp parallel
+#pragma omp parallel if ((size_t)n * d >= 1u << 21)
     {
       double lbest = std::numeric_limits<double>::infinity();
       int lbest_j = -1;
@@ -151,7 +151,7 @@ int sdtpu_linkage_centroid(const double* X, int n, int d, double* Z) {
     // candidate; also compute the new cluster's own nearest neighbor
     double best = std::numeric_limits<double>::infinity();
     int best_j = -1;
-#pragma omp parallel
+#pragma omp parallel if ((size_t)n * d >= 1u << 21)
     {
       double lbest = std::numeric_limits<double>::infinity();
       int lbest_j = -1;
