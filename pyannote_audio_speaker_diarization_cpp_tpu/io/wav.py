@@ -47,11 +47,34 @@ class WavData:
 _PCM_DTYPES = {8: np.uint8, 16: np.int16, 32: np.int32}
 
 
-def read_wav(path_or_file: Union[str, BinaryIO]) -> WavData:
-    """Parse a RIFF WAV file (integer PCM 8/16/32-bit or float32)."""
+def _discard(f: BinaryIO, num_bytes: int) -> None:
+    """Advance the stream: seek when possible, bounded reads otherwise."""
+    if num_bytes <= 0:
+        return
+    if f.seekable():
+        f.seek(num_bytes, 1)
+        return
+    while num_bytes > 0:
+        chunk = f.read(min(num_bytes, 1 << 20))
+        if not chunk:
+            return
+        num_bytes -= len(chunk)
+
+
+def read_wav(
+    path_or_file: Union[str, BinaryIO],
+    start_frame: int = 0,
+    max_frames: int | None = None,
+) -> WavData:
+    """Parse a RIFF WAV file (integer PCM 8/16/32-bit or float32).
+
+    ``start_frame``/``max_frames`` select a per-channel sample range without
+    materializing the rest of the file — the long-form multi-host path reads
+    only each host's slice of an hour-long recording
+    (parallel/longform.py)."""
     if isinstance(path_or_file, str):
         with open(path_or_file, "rb") as f:
-            return read_wav(f)
+            return read_wav(f, start_frame=start_frame, max_frames=max_frames)
     f = path_or_file
 
     riff, _size, wave = struct.unpack("<4sI4s", f.read(12))
@@ -69,11 +92,22 @@ def read_wav(path_or_file: Union[str, BinaryIO]) -> WavData:
             if chunk_size > 16:
                 f.read(chunk_size - 16)
         elif chunk_id == b"data":
-            raw = f.read(chunk_size)
+            if start_frame or max_frames is not None:
+                block_align = fmt[4] if fmt else 0
+                if not block_align:
+                    raise ValueError("fmt chunk missing or zero block align")
+                skip = min(start_frame * block_align, chunk_size)
+                _discard(f, skip)
+                remaining = chunk_size - skip
+                if max_frames is not None:
+                    remaining = min(remaining, max_frames * block_align)
+                raw = f.read(remaining)
+            else:
+                raw = f.read(chunk_size)
             break
         else:
             # skip LIST/fact/etc sub-chunks (wav.h:94-117)
-            f.read(chunk_size + (chunk_size & 1))
+            _discard(f, chunk_size + (chunk_size & 1))
 
     if fmt is None:
         raise ValueError("fmt chunk missing")
@@ -102,6 +136,46 @@ def read_wav(path_or_file: Union[str, BinaryIO]) -> WavData:
         bits_per_sample=bits,
         is_float=is_float,
     )
+
+
+@dataclasses.dataclass
+class WavInfo:
+    num_channels: int
+    sample_rate: int
+    bits_per_sample: int
+    num_frames: int
+    is_float: bool
+
+
+def wav_info(path: str) -> WavInfo:
+    """Header-only probe: channel/rate/length without reading sample data."""
+    with open(path, "rb") as f:
+        riff, _size, wave = struct.unpack("<4sI4s", f.read(12))
+        if riff != b"RIFF" or wave != b"WAVE":
+            raise ValueError("not a RIFF/WAVE file")
+        fmt = None
+        while True:
+            header = f.read(8)
+            if len(header) < 8:
+                raise ValueError("no data chunk found")
+            chunk_id, chunk_size = struct.unpack("<4sI", header)
+            if chunk_id == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", f.read(16))
+                if chunk_size > 16:
+                    f.read(chunk_size - 16)
+            elif chunk_id == b"data":
+                if fmt is None:
+                    raise ValueError("fmt chunk missing")
+                audio_format, channels, rate, _br, block_align, bits = fmt
+                return WavInfo(
+                    num_channels=channels,
+                    sample_rate=rate,
+                    bits_per_sample=bits,
+                    num_frames=chunk_size // block_align if block_align else 0,
+                    is_float=audio_format == 3,
+                )
+            else:
+                _discard(f, chunk_size + (chunk_size & 1))
 
 
 def _wav_header(num_samples: int, num_channels: int, sample_rate: int, bits: int) -> bytes:

@@ -1,0 +1,284 @@
+"""Long-form / multi-host diarization: shard the chunk axis across hosts.
+
+The reference's only scaling mechanism is a sequential sliding-window loop
+in one process (reference pipeline/src/speakerDiarizer.cpp:1419-1480;
+SURVEY.md section 2.3/5.7) — an hour of audio means 2808 chunks processed
+one 32-batch at a time with the whole waveform in RAM. This module is the
+greenfield TPU design for the same workload:
+
+  - The 5 s / 0.5 s chunk axis IS the sequence axis. It is split into
+    contiguous per-host shards; chunk ``i`` covers samples
+    ``[i*step, i*step + window)``, so a host owning chunks ``[lo, hi)``
+    reads only samples ``[lo*step, (hi-1)*step + window)`` from disk
+    (io/wav.py partial reads) — the halo past its nominal span is at most
+    ``window - step`` = 4.5 s.
+  - Each shard runs the pipeline's jitted stage-1/stage-2 dispatches
+    locally; within a host, the chunk axis additionally data-parallelizes
+    over the chip mesh via the pipeline's sharding constraints.
+  - The per-chunk outputs are tiny (293x3 scores + one 192-d embedding per
+    (chunk, speaker)): they are allgathered across hosts — over DCN in a
+    real multi-host run (jax.experimental.multihost_utils), by plain
+    concatenation when the shards run sequentially in one process.
+  - Speaker counting, clustering, and timeline reconstruction are
+    replicated host work on the gathered tensors — bit-identical to the
+    single-shot pipeline (tested).
+
+The same sharding doubles as the BOUNDED-MEMORY path on a single chip:
+``LongFormDiarizer(pipeline, num_shards=8)`` processes an hour-long file in
+eight slices so device memory holds one slice of chunk windows at a time
+instead of all 2.3 GB of them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional, Union
+
+import numpy as np
+
+from ..core.annotation import Annotation
+from ..core.sliding_window import SlidingWindow
+from ..io import resample as rs
+from ..io import wav as wavio
+from ..models import pyannet as pyannet_mod
+from ..ops import windows as win
+from ..pipelines import reconstruct as rec
+from ..pipelines.diarization import SpeakerDiarizationPipeline
+
+
+@dataclasses.dataclass(frozen=True)
+class ChunkShard:
+    """A contiguous range of global chunk indices and the sample window
+    (including the trailing halo) needed to compute them."""
+
+    chunk_lo: int
+    chunk_hi: int  # exclusive
+    sample_lo: int
+    sample_hi: int  # exclusive; may exceed the file (zero-padded)
+
+    @property
+    def num_chunks(self) -> int:
+        return self.chunk_hi - self.chunk_lo
+
+
+def plan_shards(
+    num_chunks: int, num_shards: int, window_size: int, step_size: int
+) -> List[ChunkShard]:
+    """Split ``num_chunks`` into ``num_shards`` contiguous, near-even ranges
+    (first ``num_chunks % num_shards`` shards get one extra chunk; trailing
+    shards may be empty when there are more shards than chunks)."""
+    base, extra = divmod(num_chunks, num_shards)
+    shards = []
+    lo = 0
+    for s in range(num_shards):
+        hi = lo + base + (1 if s < extra else 0)
+        shards.append(
+            ChunkShard(
+                chunk_lo=lo,
+                chunk_hi=hi,
+                sample_lo=lo * step_size,
+                sample_hi=((hi - 1) * step_size + window_size) if hi > lo else lo * step_size,
+            )
+        )
+        lo = hi
+    return shards
+
+
+class LongFormDiarizer:
+    """Chunk-sharded wrapper around a SpeakerDiarizationPipeline.
+
+    ``num_shards`` defaults to ``jax.process_count()`` (multi-host: one
+    shard per host, gathered over DCN) and otherwise to a single shard. In
+    a single process, shards execute sequentially — the bounded-memory
+    long-form mode.
+    """
+
+    def __init__(
+        self,
+        pipeline: SpeakerDiarizationPipeline,
+        num_shards: Optional[int] = None,
+    ):
+        import jax
+
+        self.pipeline = pipeline
+        self._multihost = jax.process_count() > 1
+        if num_shards is None:
+            num_shards = jax.process_count()
+        if self._multihost and num_shards != jax.process_count():
+            raise ValueError(
+                "multi-host runs need exactly one shard per host "
+                f"(num_shards={num_shards}, hosts={jax.process_count()})"
+            )
+        self.num_shards = num_shards
+
+    # ------------------------------------------------------------------
+
+    def _load_shard(self, audio, sr: int, shard: ChunkShard) -> np.ndarray:
+        """Waveform slice [sample_lo, sample_hi) zero-padded to full length."""
+        out = np.zeros(shard.sample_hi - shard.sample_lo, dtype=np.float32)
+        if isinstance(audio, str):
+            data = wavio.read_wav(
+                audio,
+                start_frame=shard.sample_lo,
+                max_frames=shard.sample_hi - shard.sample_lo,
+            )
+            piece = data.normalized_mono()
+        else:
+            piece = audio[shard.sample_lo : shard.sample_hi]
+        out[: piece.shape[0]] = piece
+        return out
+
+    def _run_shard(self, shard: ChunkShard, waveform_slice, orphan_frames):
+        """stage1 + stage2 on one shard; returns real-chunk host tensors."""
+        import jax
+        import jax.numpy as jnp
+
+        p = self.pipeline
+        seg_cfg = p.config.segmentation
+        n = shard.num_chunks
+        num_padded = p.chunk_lattice(n)
+        needed = (num_padded - 1) * seg_cfg.step_size + seg_cfg.window_size
+        wav_padded = np.zeros(needed, dtype=np.float32)
+        wav_padded[: waveform_slice.shape[0]] = waveform_slice
+        valid_frames = np.zeros(num_padded, dtype=np.int32)
+        valid_frames[:n] = seg_cfg.num_frames
+        if orphan_frames is not None:
+            valid_frames[n - 1] = orphan_frames
+        wav_dev = jnp.asarray(wav_padded)
+        vf_dev = jnp.asarray(valid_frames)
+
+        segs, binarized, chosen, _ = p._stage1(
+            p.params["segmentation"], wav_dev, vf_dev
+        )
+        emb, too_short = p._stage2(p.params["embedding"], wav_dev, chosen)
+
+        rows = n * seg_cfg.num_speakers
+        segs, binarized, emb, too_short = jax.device_get(
+            (segs[:n], binarized[:n], emb[:rows], too_short[:rows])
+        )
+        embeddings = np.asarray(emb, dtype=np.float64)
+        embeddings[np.asarray(too_short)] = np.nan
+        return segs, binarized, embeddings.reshape(n, seg_cfg.num_speakers, -1)
+
+    def _gather(self, local, pad_to: int, real: int, total: int):
+        """Allgather per-shard arrays of uneven length: pad the leading axis
+        to ``pad_to``, gather over hosts, then drop padding rows."""
+        from jax.experimental import multihost_utils
+
+        padded = np.zeros((pad_to,) + local.shape[1:], dtype=local.dtype)
+        padded[:real] = local
+        gathered = np.asarray(multihost_utils.process_allgather(padded))
+        # (hosts, pad_to, ...) -> concat real rows per host
+        counts = self._shard_counts(total)
+        parts = [gathered[h, : counts[h]] for h in range(len(counts))]
+        return np.concatenate(parts, axis=0)
+
+    def _shard_counts(self, num_chunks: int) -> List[int]:
+        base, extra = divmod(num_chunks, self.num_shards)
+        return [base + (1 if s < extra else 0) for s in range(self.num_shards)]
+
+    # ------------------------------------------------------------------
+
+    def __call__(
+        self,
+        audio: Union[str, np.ndarray],
+        sample_rate: Optional[int] = None,
+        num_speakers: Optional[int] = None,
+        min_speakers: Optional[int] = None,
+        max_speakers: Optional[int] = None,
+    ) -> Annotation:
+        p = self.pipeline
+        seg_cfg = p.config.segmentation
+        sr = seg_cfg.sample_rate
+
+        # ---------- probe / load ----------
+        if isinstance(audio, str):
+            info = wavio.wav_info(audio)
+            if info.sample_rate != sr:
+                # resampling is stateful across slice boundaries — fall back
+                # to whole-file load for non-native rates
+                data = wavio.read_wav(audio)
+                audio = rs.resample(
+                    data.normalized_mono(), data.sample_rate, sr
+                ).astype(np.float32)
+                num_samples = audio.shape[0]
+            else:
+                num_samples = info.num_frames
+        else:
+            audio = np.asarray(audio, dtype=np.float32)
+            if audio.ndim == 2:
+                audio = rs.downmix(audio)
+            if sample_rate is not None and sample_rate != sr:
+                audio = rs.resample(audio, sample_rate, sr)
+            num_samples = audio.shape[0]
+
+        num_chunks = win.chunk_count(
+            num_samples, seg_cfg.window_size, seg_cfg.step_size
+        )
+        shards = plan_shards(
+            num_chunks, self.num_shards, seg_cfg.window_size, seg_cfg.step_size
+        )
+
+        # the global orphan chunk (short tail) lives in the last non-empty shard
+        orphan_samples = num_samples - (num_chunks - 1) * seg_cfg.step_size
+        orphan_frames = None
+        if orphan_samples < seg_cfg.window_size:
+            orphan_frames = max(
+                pyannet_mod.pyannet_num_frames(orphan_samples, p.pyannet_cfg), 0
+            )
+
+        # ---------- per-shard stage 1+2 ----------
+        if self._multihost:
+            import jax
+
+            shard = shards[jax.process_index()]
+            is_last = shard.chunk_hi == num_chunks and shard.num_chunks > 0
+            segs, binz, embs = self._run_shard(
+                shard,
+                self._load_shard(audio, sr, shard),
+                orphan_frames if is_last else None,
+            )
+            pad_to = max(self._shard_counts(num_chunks))
+            segs = self._gather(segs, pad_to, shard.num_chunks, num_chunks)
+            binz = self._gather(binz, pad_to, shard.num_chunks, num_chunks)
+            embs = self._gather(embs, pad_to, shard.num_chunks, num_chunks)
+        else:
+            parts = []
+            for shard in shards:
+                if shard.num_chunks == 0:
+                    continue
+                is_last = shard.chunk_hi == num_chunks
+                parts.append(
+                    self._run_shard(
+                        shard,
+                        self._load_shard(audio, sr, shard),
+                        orphan_frames if is_last else None,
+                    )
+                )
+            segs = np.concatenate([x[0] for x in parts], axis=0)
+            binz = np.concatenate([x[1] for x in parts], axis=0)
+            embs = np.concatenate([x[2] for x in parts], axis=0)
+
+        # ---------- replicated global post-processing ----------
+        chunk_frames = SlidingWindow(
+            0.0, seg_cfg.step, seg_cfg.duration, num_samples=num_samples
+        )
+        frame_grid = SlidingWindow(
+            seg_cfg.frame_start, seg_cfg.frame_step, seg_cfg.frame_duration
+        )
+        count, count_frames = rec.speaker_count(
+            binz, chunk_frames, frame_grid, num_samples, warm_up=seg_cfg.warm_up
+        )
+        count_frames = dataclasses.replace(count_frames, num_samples=num_samples)
+        return p.finalize(
+            segs,
+            binz,
+            embs,
+            count,
+            count_frames,
+            chunk_frames,
+            num_speakers=num_speakers,
+            min_speakers=min_speakers,
+            max_speakers=max_speakers,
+        )

@@ -131,6 +131,40 @@ class SpeakerDiarizationPipeline:
         cfg = self.config
         seg_cfg = cfg.segmentation
         precision = self.precision
+        mesh = self.mesh
+        if mesh is not None:
+            from ..parallel.mesh import DATA_AXIS
+
+            n_dev = mesh.size
+            if self.seg_batch % n_dev or self.emb_batch % n_dev:
+                raise ValueError(
+                    f"seg_batch={self.seg_batch} and emb_batch={self.emb_batch} "
+                    f"must be divisible by the mesh size ({n_dev})"
+                )
+            P = jax.sharding.PartitionSpec
+
+            def shard_rows(x, ndim):
+                """Constrain a (nb, batch, ...) stack so the batch axis is
+                split over the data axis — each lax.map step then runs one
+                global batch data-parallel across all chips."""
+                spec = P(None, DATA_AXIS, *([None] * (ndim - 2)))
+                return jax.lax.with_sharding_constraint(
+                    x, jax.sharding.NamedSharding(mesh, spec)
+                )
+
+            def replicate(x):
+                """Allgather to every device (ICI/DCN collective) — used on
+                stage outputs that feed replicated post-processing/clustering."""
+                return jax.lax.with_sharding_constraint(
+                    x, jax.sharding.NamedSharding(mesh, P())
+                )
+        else:
+
+            def shard_rows(x, ndim):
+                return x
+
+            def replicate(x):
+                return x
         min_num_frames = float(
             math.ceil(
                 seg_cfg.num_frames * cfg.embedding.min_num_samples / seg_cfg.window_size
@@ -176,13 +210,16 @@ class SpeakerDiarizationPipeline:
             num_chunks = valid_frames.shape[0]
             chunks = device_chunks(wav_padded, num_chunks)
             nb = num_chunks // self.seg_batch
-            batches = chunks.reshape(nb, self.seg_batch, seg_cfg.window_size)
+            batches = shard_rows(
+                chunks.reshape(nb, self.seg_batch, seg_cfg.window_size), 3
+            )
             segs = jax.lax.map(
                 lambda b: pyannet_mod.pyannet_forward(
                     params, b, self.pyannet_cfg, precision=precision
                 ),
                 batches,
             ).reshape(num_chunks, seg_cfg.num_frames, seg_cfg.num_speakers)
+            segs = replicate(segs)
             frame_idx = jnp.arange(seg_cfg.num_frames)
             segs = jnp.where(
                 (frame_idx[None, :] < valid_frames[:, None])[..., None], segs, 0.0
@@ -216,30 +253,36 @@ class SpeakerDiarizationPipeline:
             chunks = device_chunks(wav_padded, num_chunks)
             rows = chosen.reshape(num_chunks * seg_cfg.num_speakers, -1)
             nb = rows.shape[0] // self.emb_batch
-            row_idx = jnp.arange(rows.shape[0]).reshape(nb, self.emb_batch)
+            row_idx = shard_rows(
+                jnp.arange(rows.shape[0]).reshape(nb, self.emb_batch), 2
+            )
 
             def body(idx):
                 return emb_step(params, chunks[idx // seg_cfg.num_speakers], rows[idx])
 
             emb, too_short = jax.lax.map(body, row_idx)
-            return emb.reshape(-1, emb.shape[-1]), too_short.reshape(-1)
-
-        if self.mesh is not None:
-            from ..parallel.sharding import shard_batch_step
-
-            # mesh path: per-batch dispatch with the chunk axis sharded
-            self._seg_step = jax.jit(
-                shard_batch_step(
-                    lambda p, c: pyannet_mod.pyannet_forward(
-                        p, c, self.pyannet_cfg, precision=precision
-                    ),
-                    self.mesh,
-                )
+            # allgather the tiny (N, 192) embedding matrix to every device —
+            # the only cross-device dependency of the whole recipe (global
+            # clustering; SURVEY.md section 2.3)
+            return (
+                replicate(emb.reshape(-1, emb.shape[-1])),
+                replicate(too_short.reshape(-1)),
             )
-            self._emb_step = jax.jit(shard_batch_step(emb_step, self.mesh))
-        else:
-            self._stage1 = jax.jit(stage1)
-            self._stage2 = jax.jit(stage2)
+
+        # one jitted dispatch per stage — on a mesh the shard_rows/replicate
+        # constraints inside make XLA split each batch across chips and
+        # allgather the stage outputs (device-major DP, no host loop)
+        self._stage1 = jax.jit(stage1)
+        self._stage2 = jax.jit(stage2)
+
+    def chunk_lattice(self, num_chunks: int) -> int:
+        """Padded chunk count: the batch lattice keeps jit shapes static,
+        config.chunk_bucket coarsens it to bound the number of distinct
+        compiled shapes across audio lengths."""
+        bucket = math.lcm(
+            self.seg_batch, self.emb_batch, max(self.config.chunk_bucket, 1)
+        )
+        return _ceil_to(num_chunks, bucket)
 
     def _count_plan(self, num_chunks):
         """Aggregation plan for the speaker-count grid (trace-time host
@@ -256,18 +299,6 @@ class SpeakerDiarizationPipeline:
         from ..ops.aggregate import plan_aggregation
 
         return plan_aggregation(num_chunks, trimmed_frames, frame_grid)
-
-    # ------------------------------------------------------------------
-    # mesh (multi-chip) path: per-batch dispatch with sharded batch axis
-    # ------------------------------------------------------------------
-
-    def _eager_chunks(self, wav_dev, num_chunks):
-        seg_cfg = self.config.segmentation
-        step, window = seg_cfg.step_size, seg_cfg.window_size
-        blocks = wav_dev.reshape(-1, step)
-        return jnp.concatenate(
-            [blocks[i : i + num_chunks] for i in range(window // step)], axis=1
-        )
 
     def _post_from_scores(self, segs, valid_frames):
         """Eager binarize + mask choice + count from (padded) scores —
@@ -297,57 +328,6 @@ class SpeakerDiarizationPipeline:
             skip_average=False,
         )[:, 0]
         return binarized, chosen, count_raw
-
-    def _stage1_loop(self, wav_dev, valid_frames):
-        seg_cfg = self.config.segmentation
-        num_padded = valid_frames.shape[0]
-        chunks = self._eager_chunks(wav_dev, num_padded)
-        segs = self._batched(
-            lambda c: self._seg_step(self.params["segmentation"], c),
-            [chunks],
-            self.seg_batch,
-        )
-        frame_idx = jnp.arange(seg_cfg.num_frames)
-        segs = jnp.where(
-            (frame_idx[None, :] < valid_frames[:, None])[..., None], segs, 0.0
-        )
-        binarized, chosen, count_raw = self._post_from_scores(segs, valid_frames)
-        return segs, binarized, chosen, count_raw
-
-    def _stage2_loop(self, wav_dev, chosen):
-        seg_cfg = self.config.segmentation
-        num_padded = chosen.shape[0]
-        chunks = self._eager_chunks(wav_dev, num_padded)
-        rows = chosen.reshape(-1, chosen.shape[-1])
-        row_chunks = jnp.repeat(jnp.arange(num_padded), seg_cfg.num_speakers)
-        return self._batched(
-            lambda idx, m: self._emb_step(self.params["embedding"], chunks[idx], m),
-            [row_chunks, rows],
-            self.emb_batch,
-            num_outputs=2,
-        )
-
-    def _batched(self, fn, arrays, batch: int, num_outputs: int = 1):
-        """Run ``fn(params-free arrays...)`` over the leading axis in fixed
-        ``batch`` slices (zero-padded tail) and concatenate."""
-        n = arrays[0].shape[0]
-        outs = [[] for _ in range(num_outputs)]
-        for start in range(0, n, batch):
-            stop = min(start + batch, n)
-            parts = []
-            for a in arrays:
-                piece = a[start:stop]
-                if stop - start < batch:
-                    pad = [(0, batch - (stop - start))] + [(0, 0)] * (a.ndim - 1)
-                    piece = jnp.pad(piece, pad)
-                parts.append(piece)
-            res = fn(*parts)
-            if num_outputs == 1:
-                res = (res,)
-            for i, r in enumerate(res):
-                outs[i].append(r[: stop - start])
-        merged = [jnp.concatenate(o, axis=0) for o in outs]
-        return merged[0] if num_outputs == 1 else merged
 
     # ------------------------------------------------------------------
     # the pipeline
@@ -390,10 +370,7 @@ class SpeakerDiarizationPipeline:
         num_chunks = win.chunk_count(num_samples, seg_cfg.window_size, seg_cfg.step_size)
         # pad the chunk axis to the batch lattice so jit sees one shape per
         # bucket; padded chunks are masked out (valid_frames = 0).
-        # config.chunk_bucket coarsens the lattice to bound the number of
-        # distinct compiled shapes across audio lengths.
-        bucket = math.lcm(self.seg_batch, self.emb_batch, max(cfg.chunk_bucket, 1))
-        num_padded = _ceil_to(num_chunks, bucket)
+        num_padded = self.chunk_lattice(num_chunks)
         needed = (num_padded - 1) * seg_cfg.step_size + seg_cfg.window_size
         wav_padded = np.zeros(needed, dtype=np.float32)
         wav_padded[:num_samples] = waveform
@@ -410,14 +387,9 @@ class SpeakerDiarizationPipeline:
         chunk_frames = SlidingWindow(
             0.0, seg_cfg.step, seg_cfg.duration, num_samples=num_samples
         )
-        if self.mesh is None:
-            segmentations, binarized, chosen, count_raw = self._stage1(
-                self.params["segmentation"], wav_dev, vf_dev
-            )
-        else:
-            segmentations, binarized, chosen, count_raw = self._stage1_loop(
-                wav_dev, vf_dev
-            )
+        segmentations, binarized, chosen, count_raw = self._stage1(
+            self.params["segmentation"], wav_dev, vf_dev
+        )
         if self.exact_orphan and orphan_samples < seg_cfg.window_size:
             # reference-exact orphan handling: run the short chunk at its
             # true length (segment/segment.py:103-108) and redo the host-side
@@ -449,10 +421,7 @@ class SpeakerDiarizationPipeline:
 
         # ---------- stage 2: embeddings ----------
         t0 = time.perf_counter()
-        if self.mesh is None:
-            emb, too_short = self._stage2(self.params["embedding"], wav_dev, chosen)
-        else:
-            emb, too_short = self._stage2_loop(wav_dev, chosen)
+        emb, too_short = self._stage2(self.params["embedding"], wav_dev, chosen)
         embeddings = np.asarray(emb[: num_chunks * seg_cfg.num_speakers], dtype=np.float64)
         embeddings[np.asarray(too_short[: num_chunks * seg_cfg.num_speakers])] = np.nan
         embeddings = embeddings.reshape(num_chunks, seg_cfg.num_speakers, -1)
@@ -471,6 +440,40 @@ class SpeakerDiarizationPipeline:
 
         # ---------- stage 3: clustering + reconstruction ----------
         t0 = time.perf_counter()
+        annotation = self.finalize(
+            segmentations,
+            binarized,
+            embeddings,
+            count,
+            count_frames,
+            chunk_frames,
+            num_speakers=num_speakers,
+            min_speakers=min_speakers,
+            max_speakers=max_speakers,
+            dump=dump,
+        )
+        self.timings.clustering = time.perf_counter() - t0
+        return annotation
+
+    def finalize(
+        self,
+        segmentations: np.ndarray,
+        binarized: np.ndarray,
+        embeddings: np.ndarray,
+        count: np.ndarray,
+        count_frames: SlidingWindow,
+        chunk_frames: SlidingWindow,
+        num_speakers: Optional[int] = None,
+        min_speakers: Optional[int] = None,
+        max_speakers: Optional[int] = None,
+        dump=None,
+    ) -> Annotation:
+        """Stage 3 on host tensors: cluster embeddings, reconstruct the
+        global timeline, decode turns. Shared by the standard path and the
+        long-form multi-host path (parallel/longform.py), which feeds
+        allgathered per-host outputs here."""
+        cfg = self.config
+        seg_cfg = cfg.segmentation
         hard, soft = self.clusterer(
             embeddings,
             num_clusters=num_speakers or cfg.num_speakers,
@@ -491,7 +494,7 @@ class SpeakerDiarizationPipeline:
         )
         if dump is not None:
             dump.dump("discrete_diarization", discrete)
-        annotation = rec.to_annotation(
+        return rec.to_annotation(
             discrete,
             discrete_frames,
             onset=cfg.clustering.binarize_onset,
@@ -499,5 +502,3 @@ class SpeakerDiarizationPipeline:
             min_duration_on=seg_cfg.min_duration_on,
             min_duration_off=seg_cfg.min_duration_off,
         )
-        self.timings.clustering = time.perf_counter() - t0
-        return annotation

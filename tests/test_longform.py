@@ -1,0 +1,145 @@
+"""Long-form chunk-sharded diarization: shard plans, partial WAV reads, and
+equality of the sharded path with the single-shot pipeline."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from pyannote_audio_speaker_diarization_cpp_tpu.config import (
+    DiarizationConfig,
+    SegmentationConfig,
+)
+from pyannote_audio_speaker_diarization_cpp_tpu.io import wav as wavio
+from pyannote_audio_speaker_diarization_cpp_tpu.models.pyannet import (
+    pyannet_num_frames,
+)
+from pyannote_audio_speaker_diarization_cpp_tpu.parallel.longform import (
+    LongFormDiarizer,
+    plan_shards,
+)
+from pyannote_audio_speaker_diarization_cpp_tpu.pipelines.diarization import (
+    SpeakerDiarizationPipeline,
+)
+
+WINDOW, STEP = 80000, 8000
+
+
+# ---------------------------------------------------------------------------
+# shard planning
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("num_chunks,num_shards", [(10, 3), (7, 7), (5, 8), (111, 4)])
+def test_plan_shards_partitions_chunks(num_chunks, num_shards):
+    shards = plan_shards(num_chunks, num_shards, WINDOW, STEP)
+    assert len(shards) == num_shards
+    assert shards[0].chunk_lo == 0
+    assert shards[-1].chunk_hi == num_chunks
+    for a, b in zip(shards, shards[1:]):
+        assert a.chunk_hi == b.chunk_lo
+    sizes = [s.num_chunks for s in shards]
+    assert max(sizes) - min(s for s in sizes if s > 0 or num_chunks == 0) <= 1 or (
+        0 in sizes and num_shards > num_chunks
+    )
+    for s in shards:
+        if s.num_chunks:
+            # sample window covers exactly chunks [lo, hi)
+            assert s.sample_lo == s.chunk_lo * STEP
+            assert s.sample_hi == (s.chunk_hi - 1) * STEP + WINDOW
+
+
+def test_plan_shards_halo_is_bounded():
+    shards = plan_shards(100, 4, WINDOW, STEP)
+    for s in shards[:-1]:
+        nominal_end = s.chunk_hi * STEP
+        assert s.sample_hi - nominal_end <= WINDOW - STEP  # <= 4.5 s halo
+
+
+# ---------------------------------------------------------------------------
+# partial WAV reads
+# ---------------------------------------------------------------------------
+
+
+def test_partial_wav_read_equals_slice():
+    rng = np.random.default_rng(0)
+    samples = rng.integers(-30000, 30000, size=(1, 50000)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.wav")
+        wavio.write_wav(path, samples, 16000, 16)
+        full = wavio.read_wav(path)
+        part = wavio.read_wav(path, start_frame=12345, max_frames=6789)
+        np.testing.assert_array_equal(
+            part.samples, full.samples[:, 12345 : 12345 + 6789]
+        )
+        tail = wavio.read_wav(path, start_frame=49000, max_frames=5000)
+        assert tail.num_samples == 1000  # clamped at EOF
+        np.testing.assert_array_equal(tail.samples, full.samples[:, 49000:])
+
+
+def test_partial_wav_read_stereo():
+    rng = np.random.default_rng(1)
+    samples = rng.integers(-1000, 1000, size=(2, 9000)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.wav")
+        wavio.write_wav(path, samples, 16000, 16)
+        part = wavio.read_wav(path, start_frame=4000, max_frames=2000)
+        np.testing.assert_array_equal(part.samples, samples[:, 4000:6000])
+
+
+def test_wav_info_matches_read():
+    rng = np.random.default_rng(2)
+    samples = rng.integers(-1000, 1000, size=(2, 7777)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.wav")
+        wavio.write_wav(path, samples, 22050, 16)
+        info = wavio.wav_info(path)
+        assert (info.num_channels, info.sample_rate, info.num_frames) == (2, 22050, 7777)
+        assert not info.is_float
+
+
+# ---------------------------------------------------------------------------
+# sharded pipeline == single-shot pipeline
+# ---------------------------------------------------------------------------
+
+
+TINY_CFG = DiarizationConfig(
+    segmentation=SegmentationConfig(
+        duration=1.0, step=0.5, batch_size=8, num_frames=pyannet_num_frames(16000)
+    ),
+    chunk_bucket=8,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    return SpeakerDiarizationPipeline(TINY_CFG, seed=0, seg_batch=8, emb_batch=8)
+
+
+def test_longform_equals_single_shot(tiny_pipeline):
+    rng = np.random.default_rng(5)
+    audio = (0.1 * rng.normal(size=10 * 16000 + 3777)).astype(np.float32)
+    single = tiny_pipeline(audio)
+    sharded = LongFormDiarizer(tiny_pipeline, num_shards=3)(audio)
+    assert str(single) == str(sharded)
+
+
+def test_longform_single_shard_equals_single_shot(tiny_pipeline):
+    rng = np.random.default_rng(6)
+    audio = (0.1 * rng.normal(size=6 * 16000)).astype(np.float32)
+    assert str(tiny_pipeline(audio)) == str(
+        LongFormDiarizer(tiny_pipeline, num_shards=1)(audio)
+    )
+
+
+def test_longform_from_wav_file_partial_reads(tiny_pipeline):
+    rng = np.random.default_rng(7)
+    audio = (0.1 * rng.normal(size=8 * 16000 + 123)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "long.wav")
+        wavio.write_wav(path, (audio * 32768).round(), 16000, 16)
+        quantized = wavio.read_wav(path).normalized_mono()
+        single = tiny_pipeline(quantized)
+        sharded = LongFormDiarizer(tiny_pipeline, num_shards=4)(path)
+        assert str(single) == str(sharded)
