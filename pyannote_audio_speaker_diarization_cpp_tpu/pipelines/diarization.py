@@ -180,12 +180,17 @@ class SpeakerDiarizationPipeline:
             parts = [blocks[i : i + num_chunks] for i in range(k)]
             return jnp.concatenate(parts, axis=1)
 
+        # the pallas pack kernel is single-device code; under a multi-chip
+        # mesh the jnp formulation lets XLA partition the batch axis freely
+        pack_backend = "jnp" if (mesh is not None and mesh.size > 1) else "auto"
+
         def emb_step(params, chunks, masks):
             signals, wav_lens, too_short = mk.pack_and_lengths(
                 chunks,
                 masks,
                 cfg.embedding.mask_threshold,
                 cfg.embedding.min_num_samples,
+                backend=pack_backend,
             )
             if self.frontend_backend == "pallas":
                 from ..ops.frontend_pallas import compute_features_pallas

@@ -36,3 +36,48 @@ def test_compute_features_pallas_matches_reference():
     ours = np.asarray(fp.compute_features_pallas(x, lens, cfg, interpret=True))
     ref = np.asarray(fe.compute_features(x, lens, cfg))
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# pack kernel (ops/pack_pallas.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_frames_pallas_matches_left_pack():
+    from pyannote_audio_speaker_diarization_cpp_tpu.ops import masks as mk
+    from pyannote_audio_speaker_diarization_cpp_tpu.ops.pack_pallas import (
+        pack_frames_pallas,
+    )
+
+    rng = np.random.default_rng(2)
+    n, F = 2000, 29
+    wav = jnp.asarray(rng.normal(size=(4, n)).astype(np.float32))
+    for p_keep in (0.0, 0.3, 0.7, 1.0):
+        m = jnp.asarray((rng.uniform(size=(4, F)) < p_keep).astype(np.float32))
+        imasks = (mk.interpolate_nearest(m, n) > 0.5).astype(np.float32)
+        expected = np.asarray(mk.left_pack(wav, imasks))
+        got, lens = pack_frames_pallas(wav, m, n, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), expected)
+        np.testing.assert_array_equal(
+            np.asarray(lens), np.asarray(jnp.sum(imasks, axis=-1))
+        )
+
+
+def test_pack_and_lengths_backends_agree():
+    from pyannote_audio_speaker_diarization_cpp_tpu.ops import masks as mk
+
+    rng = np.random.default_rng(3)
+    n = 1600
+    wav = jnp.asarray(rng.normal(size=(3, n)).astype(np.float32))
+    m = jnp.asarray((rng.uniform(size=(3, 17)) > 0.4).astype(np.float32))
+    s1, l1, t1 = mk.pack_and_lengths(wav, m, 0.5, 64, backend="jnp")
+    # pallas backend in interpreter mode via the kernel directly
+    from pyannote_audio_speaker_diarization_cpp_tpu.ops.pack_pallas import (
+        pack_frames_pallas,
+    )
+
+    s2, lens = pack_frames_pallas(wav, (m > 0.5).astype(np.float32), n, interpret=True)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(
+        np.asarray(l1), np.asarray(jnp.where(lens < 64, 1.0, lens / n))
+    )
