@@ -173,7 +173,11 @@ class SpeakerDiarizationPipeline:
 
         def device_chunks(wav_padded, num_chunks):
             """In-graph sliding-window chunking: reshape to hop blocks, then
-            k shifted slices — no 8.9M-element gather."""
+            k shifted slices — no 8.9M-element gather. 16-bit audio arrives
+            as raw int16 (halving the host->device transfer) and is scaled
+            on device — exact: int16/32768 is representable in f32."""
+            if wav_padded.dtype == jnp.int16:
+                wav_padded = wav_padded.astype(jnp.float32) * (1.0 / 32768.0)
             step, window = seg_cfg.step_size, seg_cfg.window_size
             k = window // step
             blocks = wav_padded.reshape(-1, step)
@@ -379,6 +383,15 @@ class SpeakerDiarizationPipeline:
         needed = (num_padded - 1) * seg_cfg.step_size + seg_cfg.window_size
         wav_padded = np.zeros(needed, dtype=np.float32)
         wav_padded[:num_samples] = waveform
+        # 16-bit-quantized audio (the normal case: int16 WAV, no resample)
+        # ships to the device as raw int16 — half the transfer bytes; the
+        # device rescales exactly (device_chunks). Lossless by construction:
+        # only taken when waveform*32768 is integral and in int16 range.
+        scaled = wav_padded * 32768.0
+        if float(np.max(np.abs(scaled), initial=0.0)) <= 32767.0:
+            quant = scaled.astype(np.int16)
+            if np.array_equal(quant.astype(np.float32), scaled):
+                wav_padded = quant
         valid_frames = np.zeros(num_padded, dtype=np.int32)
         valid_frames[:num_chunks] = seg_cfg.num_frames
         orphan_samples = num_samples - (num_chunks - 1) * seg_cfg.step_size
@@ -416,17 +429,18 @@ class SpeakerDiarizationPipeline:
                 binarized, chosen, count_raw = self._post_from_scores(
                     segmentations, vf_dev
                 )
+        # ---------- stage 2: embeddings (dispatched before the stage-1
+        # fetches so its device compute overlaps the host transfers) ----------
+        emb, too_short = self._stage2(self.params["embedding"], wav_dev, chosen)
+
         # the count grid for the real chunk count is a prefix of the padded
         # grid (same start/step; NaN-masked padding contributes nothing)
         real_plan = self._count_plan(num_chunks)
         count = np.rint(np.asarray(count_raw[: real_plan.num_frames])).astype(np.int64)
         count_frames = dataclasses.replace(real_plan.frames, num_samples=num_samples)
-        jax.block_until_ready(binarized)
         self.timings.segmentation = time.perf_counter() - t0
 
-        # ---------- stage 2: embeddings ----------
         t0 = time.perf_counter()
-        emb, too_short = self._stage2(self.params["embedding"], wav_dev, chosen)
         embeddings = np.asarray(emb[: num_chunks * seg_cfg.num_speakers], dtype=np.float64)
         embeddings[np.asarray(too_short[: num_chunks * seg_cfg.num_speakers])] = np.nan
         embeddings = embeddings.reshape(num_chunks, seg_cfg.num_speakers, -1)
