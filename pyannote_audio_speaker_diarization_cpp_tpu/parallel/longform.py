@@ -131,35 +131,9 @@ class LongFormDiarizer:
 
     def _run_shard(self, shard: ChunkShard, waveform_slice, orphan_frames):
         """stage1 + stage2 on one shard; returns real-chunk host tensors."""
-        import jax
-        import jax.numpy as jnp
-
-        p = self.pipeline
-        seg_cfg = p.config.segmentation
-        n = shard.num_chunks
-        num_padded = p.chunk_lattice(n)
-        needed = (num_padded - 1) * seg_cfg.step_size + seg_cfg.window_size
-        wav_padded = np.zeros(needed, dtype=np.float32)
-        wav_padded[: waveform_slice.shape[0]] = waveform_slice
-        valid_frames = np.zeros(num_padded, dtype=np.int32)
-        valid_frames[:n] = seg_cfg.num_frames
-        if orphan_frames is not None:
-            valid_frames[n - 1] = orphan_frames
-        wav_dev = jnp.asarray(wav_padded)
-        vf_dev = jnp.asarray(valid_frames)
-
-        segs, binarized, chosen, _ = p._stage1(
-            p.params["segmentation"], wav_dev, vf_dev
+        return self.pipeline.run_chunks(
+            waveform_slice, shard.num_chunks, orphan_frames
         )
-        emb, too_short = p._stage2(p.params["embedding"], wav_dev, chosen)
-
-        rows = n * seg_cfg.num_speakers
-        segs, binarized, emb, too_short = jax.device_get(
-            (segs[:n], binarized[:n], emb[:rows], too_short[:rows])
-        )
-        embeddings = np.asarray(emb, dtype=np.float64)
-        embeddings[np.asarray(too_short)] = np.nan
-        return segs, binarized, embeddings.reshape(n, seg_cfg.num_speakers, -1)
 
     def _gather(self, local, pad_to: int, real: int, total: int):
         """Allgather per-shard arrays of uneven length: pad the leading axis

@@ -474,6 +474,48 @@ class SpeakerDiarizationPipeline:
         self.timings.clustering = time.perf_counter() - t0
         return annotation
 
+    def run_chunks(
+        self,
+        waveform_slice: np.ndarray,
+        num_chunks: int,
+        orphan_frames: Optional[int] = None,
+    ):
+        """Run stages 1+2 on an arbitrary contiguous chunk range.
+
+        ``waveform_slice`` holds the samples backing chunks [0, num_chunks)
+        of the range (chunk i = samples [i*step, i*step+window) of the
+        slice); ``orphan_frames`` gives the last chunk's valid model frames
+        when it is the global short tail. Returns host tensors
+        (segs (n, F, S), binarized, embeddings (n, S, D) with NaN rows for
+        too-short masks). Building block for the long-form sharded path
+        (parallel/longform.py) and the streaming pipeline
+        (pipelines/streaming.py).
+        """
+        seg_cfg = self.config.segmentation
+        num_padded = self.chunk_lattice(num_chunks)
+        needed = (num_padded - 1) * seg_cfg.step_size + seg_cfg.window_size
+        wav_padded = np.zeros(needed, dtype=np.float32)
+        wav_padded[: waveform_slice.shape[0]] = waveform_slice
+        valid_frames = np.zeros(num_padded, dtype=np.int32)
+        valid_frames[:num_chunks] = seg_cfg.num_frames
+        if orphan_frames is not None:
+            valid_frames[num_chunks - 1] = orphan_frames
+        wav_dev = jnp.asarray(wav_padded)
+        vf_dev = jnp.asarray(valid_frames)
+
+        segs, binarized, chosen, _ = self._stage1(
+            self.params["segmentation"], wav_dev, vf_dev
+        )
+        emb, too_short = self._stage2(self.params["embedding"], wav_dev, chosen)
+
+        rows = num_chunks * seg_cfg.num_speakers
+        segs, binarized, emb, too_short = jax.device_get(
+            (segs[:num_chunks], binarized[:num_chunks], emb[:rows], too_short[:rows])
+        )
+        embeddings = np.asarray(emb, dtype=np.float64)
+        embeddings[np.asarray(too_short)] = np.nan
+        return segs, binarized, embeddings.reshape(num_chunks, seg_cfg.num_speakers, -1)
+
     def finalize(
         self,
         segmentations: np.ndarray,

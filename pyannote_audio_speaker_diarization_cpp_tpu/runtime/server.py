@@ -1,0 +1,176 @@
+"""Diarization serving daemon.
+
+The reference ships only a one-shot CLI binary (reference
+pipeline/src/speakerDiarizer.cpp:3415-3442) — every request pays process
+startup, model load, and (here) jit compilation. This daemon keeps one
+compiled pipeline resident and serves requests over HTTP (stdlib only):
+
+    python -m pyannote_audio_speaker_diarization_cpp_tpu.runtime.server \
+        [--port 8787] [--checkpoint DIR]
+
+Endpoints:
+  GET  /health            -> {"status": "ok", "requests": N}
+  POST /diarize           body: RIFF WAV bytes
+       query params: num_speakers, min_speakers, max_speakers,
+                     format=json|rttm (default json)
+       -> {"turns": [{"start": s, "end": e, "speaker": "Speaker_k"}, ...],
+           "audio_seconds": T, "wall_seconds": W}
+
+Requests are serialized through one worker (the chip runs one dispatch at a
+time anyway); concurrent connections queue in the listener. For multi-chip
+serving, run the pipeline over a mesh (``--mesh``) — batch work inside one
+request data-parallelizes across chips.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+
+def build_pipeline(checkpoint=None, mesh=False, seg_batch=None, emb_batch=None):
+    import jax
+
+    from ..pipelines.diarization import SpeakerDiarizationPipeline
+
+    params = None
+    if checkpoint:
+        from ..models.convert import load_checkpoint
+
+        params = load_checkpoint(checkpoint)
+    mesh_obj = None
+    if mesh:
+        from ..parallel.mesh import make_mesh
+
+        mesh_obj = make_mesh(jax.devices())
+    return SpeakerDiarizationPipeline(
+        params=params, mesh=mesh_obj, seg_batch=seg_batch, emb_batch=emb_batch
+    )
+
+
+class DiarizationService:
+    """Thread-safe wrapper: one pipeline, serialized inference."""
+
+    def __init__(self, pipeline):
+        self.pipeline = pipeline
+        self._lock = threading.Lock()
+        self.requests = 0
+
+    def diarize(self, wav_bytes: bytes, **bounds):
+        from ..io import wav as wavio
+
+        data = wavio.read_wav(io.BytesIO(wav_bytes))
+        waveform = data.normalized_mono()
+        t0 = time.perf_counter()
+        with self._lock:
+            annotation = self.pipeline(
+                waveform, sample_rate=data.sample_rate, **bounds
+            )
+            self.requests += 1
+        wall = time.perf_counter() - t0
+        return annotation, data.num_samples / data.sample_rate, wall
+
+
+def make_handler(service: DiarizationService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code: int, body: bytes, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if urlparse(self.path).path == "/health":
+                self._send(
+                    200,
+                    json.dumps(
+                        {"status": "ok", "requests": service.requests}
+                    ).encode(),
+                )
+            else:
+                self._send(404, b'{"error": "not found"}')
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/diarize":
+                self._send(404, b'{"error": "not found"}')
+                return
+            query = parse_qs(url.query)
+
+            def q_int(name):
+                return int(query[name][0]) if name in query else None
+
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            try:
+                annotation, audio_s, wall_s = service.diarize(
+                    body,
+                    num_speakers=q_int("num_speakers"),
+                    min_speakers=q_int("min_speakers"),
+                    max_speakers=q_int("max_speakers"),
+                )
+            except Exception as exc:  # malformed wav etc.
+                self._send(400, json.dumps({"error": str(exc)}).encode())
+                return
+            if query.get("format", ["json"])[0] == "rttm":
+                self._send(
+                    200, (annotation.to_rttm("stream") + "\n").encode(), "text/plain"
+                )
+                return
+            turns = [
+                {
+                    "start": round(t.start, 3),
+                    "end": round(t.end, 3),
+                    "speaker": f"Speaker_{t.label}",
+                }
+                for t in annotation.turns()
+            ]
+            self._send(
+                200,
+                json.dumps(
+                    {
+                        "turns": turns,
+                        "audio_seconds": round(audio_s, 3),
+                        "wall_seconds": round(wall_s, 4),
+                    }
+                ).encode(),
+            )
+
+    return Handler
+
+
+def serve(service: DiarizationService, host="127.0.0.1", port=8787):
+    server = ThreadingHTTPServer((host, port), make_handler(service))
+    return server
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="diarization serving daemon")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8787)
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--mesh", action="store_true", help="shard over all devices")
+    parser.add_argument("--seg-batch", type=int, default=None)
+    parser.add_argument("--emb-batch", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    service = DiarizationService(
+        build_pipeline(args.checkpoint, args.mesh, args.seg_batch, args.emb_batch)
+    )
+    server = serve(service, args.host, args.port)
+    print(f"serving on http://{args.host}:{args.port} (POST /diarize)")
+    server.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

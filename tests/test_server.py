@@ -1,0 +1,100 @@
+"""Serving daemon: health, diarize (json + rttm), error handling."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from pyannote_audio_speaker_diarization_cpp_tpu.config import (
+    DiarizationConfig,
+    SegmentationConfig,
+)
+from pyannote_audio_speaker_diarization_cpp_tpu.io import wav as wavio
+from pyannote_audio_speaker_diarization_cpp_tpu.models.pyannet import (
+    pyannet_num_frames,
+)
+from pyannote_audio_speaker_diarization_cpp_tpu.pipelines.diarization import (
+    SpeakerDiarizationPipeline,
+)
+from pyannote_audio_speaker_diarization_cpp_tpu.runtime.server import (
+    DiarizationService,
+    serve,
+)
+
+TINY_CFG = DiarizationConfig(
+    segmentation=SegmentationConfig(
+        duration=1.0, step=0.5, batch_size=8, num_frames=pyannet_num_frames(16000)
+    ),
+    chunk_bucket=8,
+)
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    pipeline = SpeakerDiarizationPipeline(TINY_CFG, seed=0, seg_batch=8, emb_batch=8)
+    service = DiarizationService(pipeline)
+    server = serve(service, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+
+
+def _wav_bytes(seconds=3, seed=0):
+    rng = np.random.default_rng(seed)
+    samples = (rng.normal(size=seconds * 16000) * 3000).round()
+    buf = io.BytesIO()
+    # write via the file writer path into memory
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "x.wav")
+        wavio.write_wav(path, samples.astype(np.float32), 16000, 16)
+        return open(path, "rb").read()
+
+
+def test_health(server_url):
+    with urllib.request.urlopen(f"{server_url}/health") as r:
+        body = json.load(r)
+    assert body["status"] == "ok"
+
+
+def test_diarize_json(server_url):
+    req = urllib.request.Request(
+        f"{server_url}/diarize", data=_wav_bytes(), method="POST"
+    )
+    with urllib.request.urlopen(req) as r:
+        body = json.load(r)
+    assert body["audio_seconds"] == 3.0
+    assert isinstance(body["turns"], list)
+    for turn in body["turns"]:
+        assert 0 <= turn["start"] <= turn["end"] <= 3.0
+        assert turn["speaker"].startswith("Speaker_")
+
+
+def test_diarize_rttm(server_url):
+    req = urllib.request.Request(
+        f"{server_url}/diarize?format=rttm", data=_wav_bytes(seed=1), method="POST"
+    )
+    with urllib.request.urlopen(req) as r:
+        text = r.read().decode()
+    for line in filter(None, text.strip().splitlines()):
+        assert line.startswith("SPEAKER ")
+
+
+def test_diarize_bad_input(server_url):
+    req = urllib.request.Request(
+        f"{server_url}/diarize", data=b"not a wav", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(req)
+    assert err.value.code == 400
+
+
+def test_unknown_path(server_url):
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(f"{server_url}/nope")
+    assert err.value.code == 404

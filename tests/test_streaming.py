@@ -1,0 +1,86 @@
+"""Streaming diarization: incremental feeds must converge to the offline
+pipeline's output exactly at flush."""
+
+import numpy as np
+import pytest
+
+from pyannote_audio_speaker_diarization_cpp_tpu.config import (
+    DiarizationConfig,
+    SegmentationConfig,
+)
+from pyannote_audio_speaker_diarization_cpp_tpu.models.pyannet import (
+    pyannet_num_frames,
+)
+from pyannote_audio_speaker_diarization_cpp_tpu.pipelines.diarization import (
+    SpeakerDiarizationPipeline,
+)
+from pyannote_audio_speaker_diarization_cpp_tpu.pipelines.streaming import (
+    StreamingDiarizer,
+)
+
+TINY_CFG = DiarizationConfig(
+    segmentation=SegmentationConfig(
+        duration=1.0, step=0.5, batch_size=8, num_frames=pyannet_num_frames(16000)
+    ),
+    chunk_bucket=8,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    return SpeakerDiarizationPipeline(TINY_CFG, seed=0, seg_batch=8, emb_batch=8)
+
+
+def _audio(seconds_samples, seed):
+    rng = np.random.default_rng(seed)
+    return (0.1 * rng.normal(size=seconds_samples)).astype(np.float32)
+
+
+def test_streaming_flush_equals_offline(tiny_pipeline):
+    audio = _audio(9 * 16000 + 5000, seed=10)  # includes a short orphan tail
+    offline = tiny_pipeline(audio)
+
+    stream = StreamingDiarizer(tiny_pipeline, emit_every=4)
+    emitted = 0
+    for start in range(0, len(audio), 7777):  # odd block size
+        if stream.feed(audio[start : start + 7777]) is not None:
+            emitted += 1
+    final = stream.flush()
+    assert emitted >= 1  # intermediate results were produced
+    assert str(final) == str(offline)
+
+
+def test_streaming_one_big_feed(tiny_pipeline):
+    audio = _audio(6 * 16000, seed=11)
+    offline = tiny_pipeline(audio)
+    stream = StreamingDiarizer(tiny_pipeline, emit_every=2)
+    stream.feed(audio)
+    assert str(stream.flush()) == str(offline)
+
+
+def test_streaming_bounded_buffer(tiny_pipeline):
+    stream = StreamingDiarizer(tiny_pipeline, emit_every=2)
+    audio = _audio(8 * 16000, seed=12)
+    for start in range(0, len(audio), 16000):
+        stream.feed(audio[start : start + 16000])
+    # after processing, the buffer holds at most window + emit_every*step
+    # plus one undelivered block
+    seg = tiny_pipeline.config.segmentation
+    assert stream._buffer.shape[0] <= seg.window_size + (
+        stream.emit_every + 2
+    ) * seg.step_size + 16000
+
+
+def test_streaming_flush_twice_raises(tiny_pipeline):
+    stream = StreamingDiarizer(tiny_pipeline)
+    stream.feed(_audio(2 * 16000, seed=13))
+    stream.flush()
+    with pytest.raises(RuntimeError):
+        stream.flush()
+    stream.reset()
+    assert stream.feed(_audio(16000, seed=14)) is None  # usable again
+
+
+def test_streaming_empty_flush(tiny_pipeline):
+    stream = StreamingDiarizer(tiny_pipeline)
+    assert len(stream.flush().turns()) == 0
