@@ -86,6 +86,35 @@ def aggregate(
     return jnp.where(seen == 0.0, jnp.asarray(missing, scores.dtype), agg)
 
 
+def aggregate_numpy(
+    scores: np.ndarray,
+    start_frames: np.ndarray,
+    num_frames: int,
+    missing: float = np.nan,
+    skip_average: bool = False,
+    epsilon: float = float(np.finfo(np.float64).eps),
+) -> np.ndarray:
+    """Numpy mirror of ``aggregate`` for host-resident callers — the
+    reconstruction-stage aggregations are a few MB, and one device dispatch
+    plus fetch costs more than the whole computation on host."""
+    scores = np.asarray(scores)
+    num_chunks, chunk_frames, num_classes = scores.shape
+    masks = (~np.isnan(scores)).astype(scores.dtype)
+    clean = np.nan_to_num(scores)
+    idx = (np.asarray(start_frames)[:, None] + np.arange(chunk_frames)[None, :]).reshape(-1)
+
+    agg = np.zeros((num_frames, num_classes), scores.dtype)
+    count = np.zeros((num_frames, num_classes), scores.dtype)
+    seen = np.zeros((num_frames, num_classes), scores.dtype)
+    np.add.at(agg, idx, (clean * masks).reshape(-1, num_classes))
+    np.add.at(count, idx, masks.reshape(-1, num_classes))
+    np.maximum.at(seen, idx, masks.reshape(-1, num_classes))
+
+    if not skip_average:
+        agg = agg / np.maximum(count, epsilon)
+    return np.where(seen == 0.0, scores.dtype.type(missing), agg)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _aggregate_jit(scores, start_frames, num_frames, missing, skip_average):
     return aggregate(
@@ -99,10 +128,19 @@ def aggregate_compiled(
     num_frames: int,
     missing: float = np.nan,
     skip_average: bool = False,
-) -> jnp.ndarray:
-    """Jitted aggregate for host-driven callers: one device dispatch instead
-    of ~10 eager ops (eager dispatch latency dominates small aggregations on
-    remote-tunnel TPU backends)."""
+):
+    """Aggregate for host-driven callers. Host (numpy) inputs run the numpy
+    mirror — a device dispatch + fetch round trip dwarfs these small
+    aggregations, especially over remote-tunnel TPU backends. Device-array
+    inputs keep the single jitted dispatch."""
+    if isinstance(scores, np.ndarray):
+        return aggregate_numpy(
+            scores,
+            np.asarray(start_frames),
+            int(num_frames),
+            missing=missing,
+            skip_average=skip_average,
+        )
     return _aggregate_jit(
         jnp.asarray(scores),
         jnp.asarray(start_frames),

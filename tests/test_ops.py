@@ -133,6 +133,26 @@ def test_aggregate_matches_oracle(skip_average):
     np.testing.assert_allclose(ours, expected, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("skip_average", [False, True])
+def test_aggregate_numpy_matches_oracle(skip_average):
+    rng = np.random.default_rng(1)
+    scores = rng.normal(size=(5, 10, 3))
+    scores[rng.uniform(size=scores.shape) < 0.2] = np.nan
+    start_frames = np.array([0, 4, 8, 12, 16], dtype=np.int32)
+    num_frames = 16 + 10
+    ours = agg.aggregate_numpy(
+        scores, start_frames, num_frames, missing=0.0, skip_average=skip_average
+    )
+    expected = aggregate_oracle(scores, start_frames, num_frames, 0.0, skip_average)
+    np.testing.assert_allclose(ours, expected, rtol=1e-5, atol=1e-6)
+    # aggregate_compiled routes numpy inputs here
+    routed = agg.aggregate_compiled(
+        scores, start_frames, num_frames, missing=0.0, skip_average=skip_average
+    )
+    assert isinstance(routed, np.ndarray)
+    np.testing.assert_allclose(routed, ours, rtol=1e-7)
+
+
 def test_plan_aggregation_reference_grid():
     """The segmentation recipe: chunks every 0.5 s, 5 s window, frame grid
     0.016875 s. Reference prints start_frame per chunk

@@ -202,3 +202,44 @@ def test_pipeline_orphan_chunk_handling(small_pipeline):
     audio = (0.1 * rng.normal(size=int(2.3 * 16000))).astype(np.float32)
     ann = small_pipeline(audio)
     assert ann is not None
+
+
+def test_pipeline_bfloat16_compute_dtype_close_to_f32():
+    """compute_dtype="bfloat16" runs the ECAPA trunk in bf16; embeddings
+    must stay within a fraction of the reference's own numerics envelope
+    (abs 0.02, reference README.md:99-101)."""
+    import dataclasses as dc
+
+    from pyannote_audio_speaker_diarization_cpp_tpu.models.pyannet import (
+        pyannet_num_frames,
+    )
+    from pyannote_audio_speaker_diarization_cpp_tpu.utils.debug_dump import (
+        DumpSession,
+    )
+
+    cfg32 = DiarizationConfig(
+        segmentation=SegmentationConfig(
+            duration=1.0, step=0.5, batch_size=8, num_frames=pyannet_num_frames(16000)
+        ),
+        chunk_bucket=8,
+    )
+    cfg16 = dc.replace(cfg32, compute_dtype="bfloat16")
+    rng = np.random.default_rng(21)
+    audio = (0.1 * rng.normal(size=5 * 16000)).astype(np.float32)
+
+    p32 = SpeakerDiarizationPipeline(cfg32, seed=0, seg_batch=8, emb_batch=8)
+    p16 = SpeakerDiarizationPipeline(
+        cfg16, seed=0, params=p32.params, seg_batch=8, emb_batch=8
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d1, tempfile.TemporaryDirectory() as d2:
+        s32, s16 = DumpSession(d1, "a"), DumpSession(d2, "b")
+        p32(audio, dump=s32)
+        p16(audio, dump=s16)
+        e32 = s32.tensors["embeddings"]
+        e16 = s16.tensors["embeddings"]
+    valid = ~np.isnan(e32).any(axis=-1)
+    assert np.array_equal(valid, ~np.isnan(e16).any(axis=-1))
+    diff = np.abs(e32[valid] - e16[valid])
+    assert diff.max() < 0.005  # << the reference's 0.02 envelope
