@@ -61,7 +61,15 @@ def linkage(
         except ImportError:
             if backend == "scipy":
                 raise
-    if method == "centroid" and backend in ("auto", "native") and n >= 64:
+    if backend == "native" and method != "centroid":
+        raise ValueError(
+            f"backend='native' supports only method='centroid', got {method!r}"
+        )
+    # auto routes to native only for large inputs (small ones are faster on
+    # the numpy path); an explicit backend="native" always runs native
+    if method == "centroid" and (
+        backend == "native" or (backend == "auto" and n >= 64)
+    ):
         from ..runtime import native_bindings
 
         Z = native_bindings.linkage_centroid(X)

@@ -102,6 +102,14 @@ def aggregate_numpy(
     masks = (~np.isnan(scores)).astype(scores.dtype)
     clean = np.nan_to_num(scores)
     idx = (np.asarray(start_frames)[:, None] + np.arange(chunk_frames)[None, :]).reshape(-1)
+    # match jax's .at[].add out-of-bounds semantics: drop OOB contributions
+    # (np.add.at would raise on idx >= num_frames and wrap negatives)
+    oob = (idx < 0) | (idx >= num_frames)
+    if oob.any():
+        masks = masks.reshape(-1, num_classes).copy()
+        masks[oob] = 0
+        masks = masks.reshape(num_chunks, chunk_frames, num_classes)
+        idx = np.where(oob, 0, idx)
 
     agg = np.zeros((num_frames, num_classes), scores.dtype)
     count = np.zeros((num_frames, num_classes), scores.dtype)

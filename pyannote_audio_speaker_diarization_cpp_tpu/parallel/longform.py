@@ -129,10 +129,12 @@ class LongFormDiarizer:
         out[: piece.shape[0]] = piece
         return out
 
-    def _run_shard(self, shard: ChunkShard, waveform_slice, orphan_frames):
+    def _run_shard(
+        self, shard: ChunkShard, waveform_slice, orphan_frames, orphan_samples=None
+    ):
         """stage1 + stage2 on one shard; returns real-chunk host tensors."""
         return self.pipeline.run_chunks(
-            waveform_slice, shard.num_chunks, orphan_frames
+            waveform_slice, shard.num_chunks, orphan_frames, orphan_samples
         )
 
     def _gather(self, local, pad_to: int, real: int, total: int):
@@ -212,6 +214,7 @@ class LongFormDiarizer:
                 shard,
                 self._load_shard(audio, sr, shard),
                 orphan_frames if is_last else None,
+                orphan_samples if is_last else None,
             )
             pad_to = max(self._shard_counts(num_chunks))
             segs = self._gather(segs, pad_to, shard.num_chunks, num_chunks)
@@ -228,6 +231,7 @@ class LongFormDiarizer:
                         shard,
                         self._load_shard(audio, sr, shard),
                         orphan_frames if is_last else None,
+                        orphan_samples if is_last else None,
                     )
                 )
             segs = np.concatenate([x[0] for x in parts], axis=0)

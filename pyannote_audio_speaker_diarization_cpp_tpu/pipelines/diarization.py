@@ -296,6 +296,13 @@ class SpeakerDiarizationPipeline:
         # allgather the stage outputs (device-major DP, no host loop)
         self._stage1 = jax.jit(stage1)
         self._stage2 = jax.jit(stage2)
+        # cached single-chunk forward for the exact-orphan path (one compile
+        # per distinct orphan length, not per call)
+        self._orphan_forward = jax.jit(
+            lambda p, w: pyannet_mod.pyannet_forward(
+                p, w, self.pyannet_cfg, precision=self.precision
+            )
+        )
 
     def chunk_lattice(self, num_chunks: int) -> int:
         """Padded chunk count: the batch lattice keeps jit shapes static,
@@ -430,11 +437,7 @@ class SpeakerDiarizationPipeline:
                 orphan = jnp.asarray(
                     waveform[(num_chunks - 1) * seg_cfg.step_size :][None, :]
                 )
-                scores_o = jax.jit(
-                    lambda p, w: pyannet_mod.pyannet_forward(
-                        p, w, self.pyannet_cfg, precision=self.precision
-                    )
-                )(self.params["segmentation"], orphan)
+                scores_o = self._orphan_forward(self.params["segmentation"], orphan)
                 patched = jnp.zeros(
                     (seg_cfg.num_frames, seg_cfg.num_speakers), segmentations.dtype
                 ).at[:valid].set(scores_o[0, :valid])
@@ -492,19 +495,31 @@ class SpeakerDiarizationPipeline:
         waveform_slice: np.ndarray,
         num_chunks: int,
         orphan_frames: Optional[int] = None,
+        orphan_samples: Optional[int] = None,
     ):
         """Run stages 1+2 on an arbitrary contiguous chunk range.
 
         ``waveform_slice`` holds the samples backing chunks [0, num_chunks)
         of the range (chunk i = samples [i*step, i*step+window) of the
         slice); ``orphan_frames`` gives the last chunk's valid model frames
-        when it is the global short tail. Returns host tensors
-        (segs (n, F, S), binarized, embeddings (n, S, D) with NaN rows for
-        too-short masks). Building block for the long-form sharded path
-        (parallel/longform.py) and the streaming pipeline
-        (pipelines/streaming.py).
+        when it is the global short tail, and ``orphan_samples`` its true
+        sample count (needed only for the exact_orphan parity re-run).
+        Returns host tensors (segs (n, F, S), binarized, embeddings
+        (n, S, D) with NaN rows for too-short masks). Building block for
+        the long-form sharded path (parallel/longform.py) and the streaming
+        pipeline (pipelines/streaming.py).
         """
         seg_cfg = self.config.segmentation
+        if num_chunks == 0:
+            # empty shard (more hosts than chunks): return correctly-shaped
+            # empties so the multi-host caller still joins the allgather
+            F, S = seg_cfg.num_frames, seg_cfg.num_speakers
+            D = self.ecapa_cfg.emb_dim
+            return (
+                np.zeros((0, F, S), np.float32),
+                np.zeros((0, F, S), np.float32),
+                np.zeros((0, S, D), np.float64),
+            )
         num_padded = self.chunk_lattice(num_chunks)
         needed = (num_padded - 1) * seg_cfg.step_size + seg_cfg.window_size
         wav_padded = np.zeros(needed, dtype=np.float32)
@@ -519,6 +534,28 @@ class SpeakerDiarizationPipeline:
         segs, binarized, chosen, _ = self._stage1(
             self.params["segmentation"], wav_dev, vf_dev
         )
+        if (
+            self.exact_orphan
+            and orphan_samples is not None
+            and orphan_samples < seg_cfg.window_size
+            and orphan_frames is not None
+            and orphan_frames > 0
+        ):
+            # same reference-exact orphan re-run as __call__: score the short
+            # chunk at its true length and redo the post-processing before
+            # dispatching stage 2 (so the patched masks feed the embeddings)
+            start = (num_chunks - 1) * seg_cfg.step_size
+            orphan = jnp.asarray(
+                np.asarray(
+                    waveform_slice[start : start + orphan_samples], dtype=np.float32
+                )[None, :]
+            )
+            scores_o = self._orphan_forward(self.params["segmentation"], orphan)
+            patched = jnp.zeros(
+                (seg_cfg.num_frames, seg_cfg.num_speakers), segs.dtype
+            ).at[:orphan_frames].set(scores_o[0, :orphan_frames])
+            segs = segs.at[num_chunks - 1].set(patched)
+            binarized, chosen, _ = self._post_from_scores(segs, vf_dev)
         emb, too_short = self._stage2(self.params["embedding"], wav_dev, chosen)
 
         rows = num_chunks * seg_cfg.num_speakers

@@ -86,13 +86,17 @@ class StreamingDiarizer:
             return 0
         return (self.total_samples - self._window) // self._step + 1
 
-    def _process_range(self, lo: int, hi: int, orphan_frames=None) -> None:
+    def _process_range(
+        self, lo: int, hi: int, orphan_frames=None, orphan_samples=None
+    ) -> None:
         start = lo * self._step
         end = (hi - 1) * self._step + self._window
         piece = self._buffer[start - self._offset : end - self._offset]
         if piece.shape[0] < end - start:  # flush tail: zero-pad
             piece = np.pad(piece, (0, end - start - piece.shape[0]))
-        segs, binz, emb = self.pipeline.run_chunks(piece, hi - lo, orphan_frames)
+        segs, binz, emb = self.pipeline.run_chunks(
+            piece, hi - lo, orphan_frames, orphan_samples
+        )
         self._segs.append(segs)
         self._binarized.append(binz)
         self._embeddings.append(emb)
@@ -165,5 +169,10 @@ class StreamingDiarizer:
                 orphan_frames = max(
                     pyannet_mod.pyannet_num_frames(orphan_samples, p.pyannet_cfg), 0
                 )
-            self._process_range(self._done_chunks, num_chunks, orphan_frames)
+            # the local orphan sample offset inside the processed range is
+            # relative to the range start; run_chunks re-derives it from the
+            # local chunk index, so pass the true global tail length
+            self._process_range(
+                self._done_chunks, num_chunks, orphan_frames, orphan_samples
+            )
         return self._emit(num_samples)
