@@ -130,6 +130,7 @@ class AgglomerativeClustering:
         min_clusters: int,
         max_clusters: int,
         num_clusters: Optional[int] = None,
+        dump=None,
     ) -> np.ndarray:
         cfg = self.config
         num_embeddings = embeddings.shape[0]
@@ -144,7 +145,17 @@ class AgglomerativeClustering:
             # unit-normalize so Euclidean ~ cosine (Clustering.py:319-324)
             with np.errstate(divide="ignore", invalid="ignore"):
                 emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+        if dump is not None:
+            # reference dump names from the clustering stage
+            # (speakerDiarizer.cpp:2319-2327, clustering.cpp:417-440)
+            dump.dump("norm_embeddings", emb)
+            diff = emb[:, None, :] - emb[None, :, :]
+            D = np.sqrt(np.sum(diff * diff, axis=-1))
+            iu = np.triu_indices(num_embeddings, k=1)
+            dump.dump("dist", D[iu])
         dendrogram = ahc.linkage(emb, method=cfg.method)
+        if dump is not None:
+            dump.dump("clusterRes", dendrogram)
 
         clusters = ahc.fcluster_distance(dendrogram, cfg.threshold)
         cluster_unique, cluster_counts = np.unique(clusters, return_counts=True)
@@ -210,12 +221,15 @@ class AgglomerativeClustering:
         num_clusters: Optional[int] = None,
         min_clusters: Optional[int] = None,
         max_clusters: Optional[int] = None,
+        dump=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """(chunks, speakers, d) NaN-padded embeddings -> (hard, soft)
         cluster assignments (Clustering.py:167-238)."""
         train_embeddings, train_chunk_idx, train_speaker_idx = filter_embeddings(
             embeddings, max_num_embeddings=self.max_num_embeddings
         )
+        if dump is not None:
+            dump.dump("filtered_embeddings", train_embeddings)
         num_embeddings = train_embeddings.shape[0]
         num_clusters, min_clusters, max_clusters = set_num_clusters(
             num_embeddings,
@@ -230,8 +244,14 @@ class AgglomerativeClustering:
             return hard, soft
 
         train_clusters = self.cluster(
-            train_embeddings, min_clusters, max_clusters, num_clusters=num_clusters
+            train_embeddings,
+            min_clusters,
+            max_clusters,
+            num_clusters=num_clusters,
+            dump=dump,
         )
+        if dump is not None:
+            dump.dump("clusters", train_clusters)
         return assign_embeddings(
             embeddings,
             train_chunk_idx,

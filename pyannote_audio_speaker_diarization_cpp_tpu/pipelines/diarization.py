@@ -49,6 +49,28 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def load_waveform(
+    audio: Union[str, np.ndarray],
+    sample_rate: Optional[int],
+    target_rate: int,
+) -> np.ndarray:
+    """Path or array -> float32 mono waveform at ``target_rate``."""
+    if isinstance(audio, str):
+        data = wavio.read_wav(audio)
+        waveform = data.normalized_mono()
+        if data.sample_rate != target_rate:
+            waveform = rs.resample(waveform, data.sample_rate, target_rate).astype(
+                np.float32
+            )
+        return waveform
+    waveform = np.asarray(audio, dtype=np.float32)
+    if waveform.ndim == 2:
+        waveform = rs.downmix(waveform)
+    if sample_rate is not None and sample_rate != target_rate:
+        waveform = rs.resample(waveform, sample_rate, target_rate)
+    return waveform
+
+
 @dataclasses.dataclass
 class StageTimings:
     segmentation: float = 0.0
@@ -81,13 +103,19 @@ class SpeakerDiarizationPipeline:
         clusterer: Union[str, object] = "ahc",
         frontend_backend: str = "jnp",
         exact_orphan: bool = False,
+        pyannet_cfg: Optional[pyannet_mod.PyanNetConfig] = None,
+        ecapa_cfg: Optional[ecapa_mod.EcapaConfig] = None,
     ):
         self.config = config
-        self.pyannet_cfg = pyannet_mod.PyanNetConfig(
+        # model-architecture overrides (converted checkpoints with non-recipe
+        # sizes, or deliberately small models for fast tests)
+        self.pyannet_cfg = pyannet_cfg or pyannet_mod.PyanNetConfig(
             sample_rate=config.segmentation.sample_rate,
             num_classes=config.segmentation.num_speakers,
         )
-        self.ecapa_cfg = ecapa_mod.EcapaConfig(in_channels=config.frontend.n_mels)
+        self.ecapa_cfg = ecapa_cfg or ecapa_mod.EcapaConfig(
+            in_channels=config.frontend.n_mels
+        )
         if params is None:
             key = jax.random.PRNGKey(seed)
             k1, k2 = jax.random.split(key)
@@ -379,19 +407,7 @@ class SpeakerDiarizationPipeline:
         sr = seg_cfg.sample_rate
 
         # ---------- load ----------
-        if isinstance(audio, str):
-            data = wavio.read_wav(audio)
-            waveform = data.normalized_mono()
-            if data.sample_rate != sr:
-                waveform = rs.resample(waveform, data.sample_rate, sr).astype(
-                    np.float32
-                )
-        else:
-            waveform = np.asarray(audio, dtype=np.float32)
-            if waveform.ndim == 2:
-                waveform = rs.downmix(waveform)
-            if sample_rate is not None and sample_rate != sr:
-                waveform = rs.resample(waveform, sample_rate, sr)
+        waveform = load_waveform(audio, sample_rate, sr)
         num_samples = waveform.shape[0]
 
         # ---------- stage 1: segmentation ----------
@@ -585,11 +601,15 @@ class SpeakerDiarizationPipeline:
         allgathered per-host outputs here."""
         cfg = self.config
         seg_cfg = cfg.segmentation
+        cluster_kwargs = {}
+        if dump is not None and isinstance(self.clusterer, AgglomerativeClustering):
+            cluster_kwargs["dump"] = dump
         hard, soft = self.clusterer(
             embeddings,
             num_clusters=num_speakers or cfg.num_speakers,
             min_clusters=min_speakers or cfg.min_speakers,
             max_clusters=max_speakers or cfg.max_speakers,
+            **cluster_kwargs,
         )
 
         # inactive local speakers -> -2 (speakerDiarizer.cpp:3166-3191)
@@ -601,7 +621,7 @@ class SpeakerDiarizationPipeline:
             dump.dump("hard_clusters", hard)
             dump.dump("soft_clusters", soft)
         discrete, discrete_frames = rec.reconstruct(
-            segmentations, chunk_frames, hard, count, count_frames
+            segmentations, chunk_frames, hard, count, count_frames, dump=dump
         )
         if dump is not None:
             dump.dump("discrete_diarization", discrete)

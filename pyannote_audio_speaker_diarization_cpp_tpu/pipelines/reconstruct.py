@@ -74,6 +74,7 @@ def reconstruct(
     hard_clusters: np.ndarray,
     count: np.ndarray,
     count_frames: SlidingWindow,
+    dump=None,
 ) -> Tuple[np.ndarray, SlidingWindow]:
     """Stitch local speaker activations into per-cluster activations and
     binarize by per-frame speaker count (speakerDiarizer.cpp:2789-2848).
@@ -93,8 +94,10 @@ def reconstruct(
         has_k = member_k.any(axis=1)
         masked = np.where(member_k[:, None, :], segmentations, -np.inf)
         clustered[has_k, :, k] = masked.max(axis=2)[has_k]
+    if dump is not None:
+        dump.dump("clustered_segmentations", clustered)
 
-    return to_diarization(clustered, chunk_frames, count, count_frames)
+    return to_diarization(clustered, chunk_frames, count, count_frames, dump=dump)
 
 
 def crop_segment(
@@ -115,20 +118,35 @@ def to_diarization(
     chunk_frames: SlidingWindow,
     count: np.ndarray,
     count_frames: SlidingWindow,
+    dump=None,
 ) -> Tuple[np.ndarray, SlidingWindow]:
     """(chunks, frames, K) NaN-masked activations + per-frame count ->
     (frames, K) binary matrix (speakerDiarizer.cpp:2638-2764)."""
     num_chunks = clustered.shape[0]
     plan = plan_aggregation(num_chunks, chunk_frames, count_frames)
+    scores32 = clustered.astype(np.float32)
     activations = np.asarray(
         aggregate_compiled(
-            clustered.astype(np.float32),
+            scores32,
             plan.start_frames,
             plan.num_frames,
             missing=0.0,
             skip_average=True,
         )
     )
+    if dump is not None:
+        # the aggregate() internals the reference dumps from
+        # PipelineHelper::aggregate (speakerDiarizer.cpp:1161-1313)
+        masks_agg = (~np.isnan(scores32)).astype(np.float32)
+        idx = plan.start_frames[:, None] + np.arange(scores32.shape[1])[None, :]
+        overlap = np.zeros((plan.num_frames, scores32.shape[2]), np.float32)
+        np.add.at(overlap, idx.reshape(-1), masks_agg.reshape(-1, scores32.shape[2]))
+        dump.dump("scores_in_aggregate", np.nan_to_num(scores32))
+        dump.dump("masks_in_aggregate", masks_agg)
+        dump.dump("aggregated_output", activations)
+        dump.dump("aggregated_mask", (overlap > 0).astype(np.float32))
+        dump.dump("overlapping_chunk_count", overlap)
+        dump.dump("to_diarization_activations", activations)
     activations_frames = plan.frames
     num_speakers = activations.shape[1]
     count = np.minimum(count, num_speakers)
@@ -148,6 +166,10 @@ def to_diarization(
     n = min(len(cropped_count), len(cropped_activations))
     binary = np.zeros_like(cropped_activations)
     binary[:n][ranks[:n] < cropped_count[:n]] = 1.0
+    if dump is not None:
+        dump.dump("cropped_activations", cropped_activations)
+        dump.dump("cropped_count", cropped_count)
+        dump.dump("sorted_speakers", order)
     return binary, cropped_frames
 
 

@@ -37,6 +37,7 @@ EXACT_NAMES = {
     "clusters",
     "hard_clusters",
     "binarized_segmentations",
+    "binary_ndarray",
 }
 
 RTOL = 1e-3
@@ -88,12 +89,22 @@ def parse_tensor(text: str) -> np.ndarray:
 
 
 class DumpSession:
-    """Collects named intermediates and writes <prefix>_<name>.txt files."""
+    """Collects named intermediates and writes <prefix>_<name>.txt files.
 
-    def __init__(self, directory: str = "/tmp", prefix: str = "jax", enabled: bool = True):
+    ``write_text=False`` keeps tensors in memory only (for golden-fixture
+    comparison via save_npz/compare_tensors without touching /tmp)."""
+
+    def __init__(
+        self,
+        directory: str = "/tmp",
+        prefix: str = "jax",
+        enabled: bool = True,
+        write_text: bool = True,
+    ):
         self.directory = directory
         self.prefix = prefix
         self.enabled = enabled
+        self.write_text = write_text
         self.tensors: Dict[str, np.ndarray] = {}
 
     def dump(self, name: str, value) -> None:
@@ -101,9 +112,15 @@ class DumpSession:
             return
         arr = np.asarray(value)
         self.tensors[name] = arr
+        if not self.write_text:
+            return
         path = os.path.join(self.directory, f"{self.prefix}_{name}.txt")
         with open(path, "w") as f:
             f.write(format_tensor(arr))
+
+    def save_npz(self, path: str) -> None:
+        """Persist the session as a compressed golden fixture."""
+        np.savez_compressed(path, **self.tensors)
 
 
 @dataclasses.dataclass
@@ -111,6 +128,46 @@ class CompareResult:
     name: str
     status: str  # "match", "mismatch", "missing"
     detail: str = ""
+
+
+def load_npz(path: str) -> Dict[str, np.ndarray]:
+    """Load a golden fixture written by DumpSession.save_npz."""
+    with np.load(path) as data:
+        return {name: data[name] for name in data.files}
+
+
+def compare_tensors(
+    ours: Dict[str, np.ndarray],
+    golden: Dict[str, np.ndarray],
+) -> List[CompareResult]:
+    """Compare two tensor dicts with the reference tolerance policy
+    (verifyEveryStepResult.py:119-124, 162-171): exact equality for the
+    discrete EXACT_NAMES, allclose(rtol 1e-3, atol 1e-4) for floats.
+    Every golden name must be present in ``ours``."""
+    results = []
+    for name in sorted(golden):
+        if name not in ours:
+            results.append(CompareResult(name, "missing"))
+            continue
+        a = np.asarray(ours[name], dtype=np.float64)
+        b = np.asarray(golden[name], dtype=np.float64)
+        if a.shape != b.shape:
+            results.append(
+                CompareResult(name, "mismatch", f"shape {a.shape} vs {b.shape}")
+            )
+            continue
+        try:
+            if name in EXACT_NAMES:
+                mask = ~(np.isnan(a) & np.isnan(b))
+                if not np.array_equal(a[mask], b[mask]):
+                    bad = int(np.sum(a[mask] != b[mask]))
+                    raise AssertionError(f"{bad} elements differ (exact)")
+            else:
+                np.testing.assert_allclose(a, b, rtol=RTOL, atol=ATOL, equal_nan=True)
+            results.append(CompareResult(name, "match"))
+        except AssertionError as e:
+            results.append(CompareResult(name, "mismatch", str(e).splitlines()[0]))
+    return results
 
 
 def compare_dumps(

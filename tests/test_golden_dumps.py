@@ -1,0 +1,151 @@
+"""Golden differential-dump regression: the reference's full checklist.
+
+Mirrors the reference's main test strategy (pipeline/script/
+verifyEveryStepResult.py:5-17, 161-178): every named pipeline intermediate is
+dumped and compared against committed golden fixtures with the reference's
+tolerance policy (exact for discrete tensors, rtol 1e-3 / atol 1e-4 for
+floats). A numerics regression in ANY stage fails on the specific tensor
+name, exactly like the reference harness.
+
+Goldens live at tests/goldens/dumps_small.npz, generated on the CPU backend
+from a deterministic synthetic wav and seed-0 random weights. Regenerate
+after an intentional numerics change with:
+
+    GOLDEN_REGEN=1 python -m pytest tests/test_golden_dumps.py -q
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from pyannote_audio_speaker_diarization_cpp_tpu.pipelines.diarization import (
+    SpeakerDiarizationPipeline,
+)
+from pyannote_audio_speaker_diarization_cpp_tpu.utils import debug_dump as dd
+from pyannote_audio_speaker_diarization_cpp_tpu.utils.instrumented import (
+    run_with_dumps,
+)
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "goldens", "dumps_small.npz")
+
+# the reference's full checklist (verifyEveryStepResult.py:5-17), minus the
+# commented-out batch_waveform
+CHECKLIST = [
+    "batch_masks",
+    "segmentations",
+    "wav_lens",
+    "signals",
+    "masks",
+    "imasks",
+    "binarize_score",
+    "on",
+    "same_as",
+    "samples",
+    "well_defined_idx",
+    "initial_state",
+    "binarized_segmentations",
+    "binary_ndarray",
+    "final_wav_lens",
+    "clean_segmentations",
+    "trimmed",
+    "sum_trimmed",
+    "count_data",
+    "count",
+    "embeddings",
+    "filtered_embeddings",
+    "norm_embeddings",
+    "clusters",
+    "dist",
+    "clusterRes",
+    "soft_clusters",
+    "hard_clusters",
+    "clustered_segmentations",
+    "aggregated_output",
+    "aggregated_mask",
+    "overlapping_chunk_count",
+    "scores_in_aggregate",
+    "masks_in_aggregate",
+    "to_diarization_activations",
+    "cropped_activations",
+    "cropped_count",
+    "sorted_speakers",
+    "discrete_diarization",
+]
+
+
+def synth_wav(seconds: float = 6.3, sr: int = 16000) -> np.ndarray:
+    """Deterministic int16-quantized multi-tone + noise test signal."""
+    rng = np.random.default_rng(1234)
+    t = np.arange(int(seconds * sr)) / sr
+    x = (
+        0.30 * np.sin(2 * np.pi * 220.0 * t)
+        + 0.20 * np.sin(2 * np.pi * 1760.0 * t * (1 + 0.1 * np.sin(2 * np.pi * 0.5 * t)))
+        + 0.05 * rng.standard_normal(t.shape)
+    )
+    q = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+    return q.astype(np.float32) / 32768.0
+
+
+@pytest.fixture(scope="module")
+def dump_session():
+    # real recipe constants (5 s / 0.5 s windows, 293 frames, real thresholds)
+    # with small model architectures — the golden regression pins the
+    # PIPELINE numerics; model-scale parity is covered by
+    # tests/test_models.py and tests/test_convert.py
+    import dataclasses as dc
+
+    from pyannote_audio_speaker_diarization_cpp_tpu.config import DEFAULT_CONFIG
+    from pyannote_audio_speaker_diarization_cpp_tpu.models.ecapa import EcapaConfig
+    from pyannote_audio_speaker_diarization_cpp_tpu.models.pyannet import PyanNetConfig
+
+    cfg = dc.replace(DEFAULT_CONFIG, chunk_bucket=4)
+    pipeline = SpeakerDiarizationPipeline(
+        cfg,
+        seed=0,
+        seg_batch=4,
+        emb_batch=4,
+        pyannet_cfg=PyanNetConfig(
+            num_filters=32, conv_channels=16, lstm_hidden=16, lstm_layers=2,
+            linear_hidden=16,
+        ),
+        ecapa_cfg=EcapaConfig(
+            in_channels=80, channels=(64, 64, 64, 64, 128),
+            attention_channels=16, se_channels=16, emb_dim=32,
+        ),
+    )
+    dump = dd.DumpSession(write_text=False)
+    annotation = run_with_dumps(pipeline, synth_wav(), dump)
+    return dump, annotation
+
+
+def test_checklist_complete(dump_session):
+    """Every tensor name from the reference harness is dumped."""
+    dump, _ = dump_session
+    missing = [n for n in CHECKLIST if n not in dump.tensors]
+    assert not missing, f"checklist names not dumped: {missing}"
+
+
+def test_dumps_match_golden_fixtures(dump_session):
+    dump, _ = dump_session
+    if os.environ.get("GOLDEN_REGEN") or not os.path.exists(GOLDEN_PATH):
+        os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
+        dump.save_npz(GOLDEN_PATH)
+        pytest.skip(f"golden fixtures (re)generated at {GOLDEN_PATH}")
+    golden = dd.load_npz(GOLDEN_PATH)
+    results = dd.compare_tensors(dump.tensors, golden)
+    bad = [r for r in results if r.status != "match"]
+    assert not bad, "\n".join(f"{r.name}: {r.status} {r.detail}" for r in bad)
+    # the comparison covered the whole checklist, not a subset
+    assert set(CHECKLIST) <= {r.name for r in results}
+
+
+def test_text_roundtrip_matches_reference_format(dump_session, tmp_path):
+    """The text dumps (reference-compatible format) parse back to the same
+    values the session holds — keeps /tmp differential diffing usable."""
+    dump, _ = dump_session
+    for name in ["count", "final_wav_lens", "hard_clusters"]:
+        text = dd.format_tensor(dump.tensors[name])
+        parsed = dd.parse_tensor(text)
+        flat = np.asarray(dump.tensors[name], dtype=np.float64).reshape(parsed.shape)
+        np.testing.assert_allclose(parsed, flat, rtol=1e-12, atol=0, equal_nan=True)
