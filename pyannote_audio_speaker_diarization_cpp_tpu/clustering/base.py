@@ -120,9 +120,19 @@ class AgglomerativeClustering:
 
     config: ClusteringConfig = dataclasses.field(default_factory=ClusteringConfig)
     constrained_assignment: bool = False
-    # pyannote BaseClustering caps the AHC train set (Clustering.py:18, 69-76);
-    # AgglomerativeClustering defaults to unlimited (Clustering.py:260)
-    max_num_embeddings: Optional[int] = None
+    # pyannote BaseClustering caps the AHC train set at 1000 and assigns the
+    # remaining embeddings to the learned centroids (Clustering.py:12-18,
+    # 69-76). _UNSET defers to config.max_num_embeddings (default 1000 —
+    # pyannote-compatible); pass None explicitly to cluster on everything.
+    # Subsampling is deterministic here (seeded permutation) where pyannote
+    # uses the unseeded global random module — partition-equivalent behavior.
+    max_num_embeddings: object = dataclasses.field(default="_unset")
+
+    def __post_init__(self):
+        if self.max_num_embeddings == "_unset":
+            self.max_num_embeddings = getattr(
+                self.config, "max_num_embeddings", None
+            )
 
     def cluster(
         self,

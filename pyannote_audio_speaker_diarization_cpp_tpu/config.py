@@ -115,6 +115,11 @@ class ClusteringConfig:
     metric: str = "cosine"
     threshold: float = 0.7153814381597874
     min_cluster_size: int = 15
+    # pyannote BaseClustering caps the AHC train set at 1000 embeddings and
+    # assigns the rest to the learned centroids (Clustering.py:12-18, 69-76);
+    # hour-scale audio follows pyannote semantics with this default. None
+    # disables the cap (cluster on every embedding).
+    max_num_embeddings: "int | None" = 1000
     # Final hysteresis decode thresholds (speakerDiarizer.cpp:3228-3229).
     binarize_onset: float = 0.5
     binarize_offset: float = 0.5

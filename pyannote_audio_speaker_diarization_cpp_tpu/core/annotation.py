@@ -114,8 +114,10 @@ class Annotation:
         """Serialize to RTTM (one SPEAKER line per turn)."""
         lines = []
         for t in self.turns():
+            # 6 decimals: microsecond boundaries survive the roundtrip
+            # (pyannote.core's Segment precision, segment/utils.py:68)
             lines.append(
-                f"SPEAKER {uri} 1 {t.start:.3f} {t.segment.duration:.3f} "
+                f"SPEAKER {uri} 1 {t.start:.6f} {t.segment.duration:.6f} "
                 f"<NA> <NA> Speaker_{t.label} <NA> <NA>"
             )
         return "\n".join(lines)

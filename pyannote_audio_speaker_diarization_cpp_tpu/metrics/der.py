@@ -136,3 +136,34 @@ def diarization_error_rate(
 
 def der(reference: Annotation, hypothesis: Annotation, collar: float = 0.0) -> float:
     return diarization_error_rate(reference, hypothesis, collar=collar).der
+
+
+def main(argv=None) -> int:
+    """One-command DER between two RTTM files:
+
+        python -m pyannote_audio_speaker_diarization_cpp_tpu.metrics.der \\
+            reference.rttm hypothesis.rttm [--collar 0.25]
+
+    Pairs with ``cli.py --rttm`` for end-to-end accuracy measurement against
+    a pyannote-produced reference (BASELINE.md accuracy target).
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(description="diarization error rate")
+    parser.add_argument("reference", help="reference RTTM file")
+    parser.add_argument("hypothesis", help="hypothesis RTTM file")
+    parser.add_argument("--collar", type=float, default=0.0)
+    args = parser.parse_args(argv)
+    ref = Annotation.from_rttm(open(args.reference).read())
+    hyp = Annotation.from_rttm(open(args.hypothesis).read())
+    comps = diarization_error_rate(ref, hyp, collar=args.collar)
+    print(
+        f"DER={comps.der:.4f} (missed={comps.missed:.3f}s "
+        f"false_alarm={comps.false_alarm:.3f}s confusion={comps.confusion:.3f}s "
+        f"total={comps.total:.3f}s collar={args.collar})"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -47,6 +47,29 @@ from ..pipelines import reconstruct as rec
 from ..pipelines.diarization import SpeakerDiarizationPipeline
 
 
+class JaxHostComm:
+    """The real multi-host collective surface: jax process topology + a
+    process_allgather over DCN (jax.experimental.multihost_utils). Kept
+    behind this tiny interface so tests can execute the multi-host branch
+    with simulated hosts (tests/test_longform.py)."""
+
+    def process_count(self) -> int:
+        import jax
+
+        return jax.process_count()
+
+    def process_index(self) -> int:
+        import jax
+
+        return jax.process_index()
+
+    def allgather(self, x: np.ndarray) -> np.ndarray:
+        """(local ...) -> (hosts, ...) stacked over the process axis."""
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x))
+
+
 @dataclasses.dataclass(frozen=True)
 class ChunkShard:
     """A contiguous range of global chunk indices and the sample window
@@ -98,17 +121,17 @@ class LongFormDiarizer:
         self,
         pipeline: SpeakerDiarizationPipeline,
         num_shards: Optional[int] = None,
+        comm: Optional[JaxHostComm] = None,
     ):
-        import jax
-
         self.pipeline = pipeline
-        self._multihost = jax.process_count() > 1
+        self.comm = comm if comm is not None else JaxHostComm()
+        self._multihost = self.comm.process_count() > 1
         if num_shards is None:
-            num_shards = jax.process_count()
-        if self._multihost and num_shards != jax.process_count():
+            num_shards = self.comm.process_count()
+        if self._multihost and num_shards != self.comm.process_count():
             raise ValueError(
                 "multi-host runs need exactly one shard per host "
-                f"(num_shards={num_shards}, hosts={jax.process_count()})"
+                f"(num_shards={num_shards}, hosts={self.comm.process_count()})"
             )
         self.num_shards = num_shards
 
@@ -140,11 +163,9 @@ class LongFormDiarizer:
     def _gather(self, local, pad_to: int, real: int, total: int):
         """Allgather per-shard arrays of uneven length: pad the leading axis
         to ``pad_to``, gather over hosts, then drop padding rows."""
-        from jax.experimental import multihost_utils
-
         padded = np.zeros((pad_to,) + local.shape[1:], dtype=local.dtype)
         padded[:real] = local
-        gathered = np.asarray(multihost_utils.process_allgather(padded))
+        gathered = self.comm.allgather(padded)
         # (hosts, pad_to, ...) -> concat real rows per host
         counts = self._shard_counts(total)
         parts = [gathered[h, : counts[h]] for h in range(len(counts))]
@@ -206,9 +227,7 @@ class LongFormDiarizer:
 
         # ---------- per-shard stage 1+2 ----------
         if self._multihost:
-            import jax
-
-            shard = shards[jax.process_index()]
+            shard = shards[self.comm.process_index()]
             is_last = shard.chunk_hi == num_chunks and shard.num_chunks > 0
             segs, binz, embs = self._run_shard(
                 shard,

@@ -39,3 +39,38 @@ def reference_wav_path():
     if not os.path.exists(path):
         pytest.skip("reference test wav not available")
     return path
+
+
+@pytest.fixture(scope="session")
+def small5s_pipeline():
+    """One shared pipeline with the REAL recipe constants (5 s / 0.5 s
+    windows, 293 frames, real thresholds) and small model architectures —
+    compiled once per test session. Used by the golden-dump and DER
+    regression tests; keep its construction stable, the committed goldens
+    depend on it."""
+    import dataclasses as dc
+
+    from pyannote_audio_speaker_diarization_cpp_tpu.config import DEFAULT_CONFIG
+    from pyannote_audio_speaker_diarization_cpp_tpu.models.ecapa import EcapaConfig
+    from pyannote_audio_speaker_diarization_cpp_tpu.models.pyannet import (
+        PyanNetConfig,
+    )
+    from pyannote_audio_speaker_diarization_cpp_tpu.pipelines.diarization import (
+        SpeakerDiarizationPipeline,
+    )
+
+    cfg = dc.replace(DEFAULT_CONFIG, chunk_bucket=4)
+    return SpeakerDiarizationPipeline(
+        cfg,
+        seed=0,
+        seg_batch=4,
+        emb_batch=4,
+        pyannet_cfg=PyanNetConfig(
+            num_filters=32, conv_channels=16, lstm_hidden=16, lstm_layers=2,
+            linear_hidden=16,
+        ),
+        ecapa_cfg=EcapaConfig(
+            in_channels=80, channels=(64, 64, 64, 64, 128),
+            attention_channels=16, se_channels=16, emb_dim=32,
+        ),
+    )

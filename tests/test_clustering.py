@@ -166,3 +166,56 @@ def test_small_cluster_reassignment():
     labels = clustering.cluster(X, min_clusters=1, max_clusters=60)
     # the 2-member cluster is below min_cluster_size -> absorbed into the big one
     assert len(np.unique(labels)) == 1
+
+
+def test_max_embeddings_cap_default_matches_pyannote():
+    """pyannote BaseClustering defaults max_num_embeddings=1000
+    (reference clustering/Clustering.py:12-18); the config default and the
+    clusterer must follow."""
+    assert ClusteringConfig().max_num_embeddings == 1000
+    assert cb.AgglomerativeClustering().max_num_embeddings == 1000
+    assert (
+        cb.AgglomerativeClustering(max_num_embeddings=None).max_num_embeddings
+        is None
+    )
+
+
+def test_max_embeddings_cap_subsample_then_assign_all():
+    """>1000 embeddings: AHC trains on a 1000-row subsample and every
+    embedding is still assigned to a centroid (Clustering.py:69-76 +
+    assign_embeddings) — the hour-scale pyannote semantics."""
+    from pyannote_audio_speaker_diarization_cpp_tpu.utils.debug_dump import (
+        DumpSession,
+    )
+
+    rng = np.random.default_rng(0)
+    dim, n_chunks = 16, 500
+    centers = np.zeros((3, dim))
+    centers[0, 0] = centers[1, 5] = centers[2, 10] = 5.0
+    labels_true = rng.integers(0, 3, size=n_chunks * 3)
+    X = centers[labels_true] + 0.05 * rng.normal(size=(n_chunks * 3, dim))
+    emb = X.reshape(n_chunks, 3, dim)
+
+    clusterer = cb.AgglomerativeClustering()
+    dump = DumpSession(write_text=False)
+    hard, soft = clusterer(emb, dump=dump)
+    # the AHC train set was capped, but every embedding got a cluster
+    assert dump.tensors["filtered_embeddings"].shape[0] == 1000
+    assert hard.shape == (n_chunks, 3)
+    assert soft.shape[2] == hard.max() + 1
+
+    # partition equals ground truth up to label permutation
+    pred = hard.reshape(-1)
+    assert hard.max() + 1 == 3
+    mapping = {}
+    for k in range(3):
+        true_k = labels_true[pred == k]
+        mapping[k] = np.bincount(true_k).argmax()
+    assert len(set(mapping.values())) == 3
+    acc = np.mean([mapping[p] == t for p, t in zip(pred, labels_true)])
+    assert acc == 1.0
+
+    # deterministic subsampling: a second run gives the identical result
+    hard2, soft2 = clusterer(emb)
+    np.testing.assert_array_equal(hard, hard2)
+    np.testing.assert_allclose(soft, soft2)

@@ -88,34 +88,13 @@ def synth_wav(seconds: float = 6.3, sr: int = 16000) -> np.ndarray:
 
 
 @pytest.fixture(scope="module")
-def dump_session():
-    # real recipe constants (5 s / 0.5 s windows, 293 frames, real thresholds)
-    # with small model architectures — the golden regression pins the
-    # PIPELINE numerics; model-scale parity is covered by
-    # tests/test_models.py and tests/test_convert.py
-    import dataclasses as dc
-
-    from pyannote_audio_speaker_diarization_cpp_tpu.config import DEFAULT_CONFIG
-    from pyannote_audio_speaker_diarization_cpp_tpu.models.ecapa import EcapaConfig
-    from pyannote_audio_speaker_diarization_cpp_tpu.models.pyannet import PyanNetConfig
-
-    cfg = dc.replace(DEFAULT_CONFIG, chunk_bucket=4)
-    pipeline = SpeakerDiarizationPipeline(
-        cfg,
-        seed=0,
-        seg_batch=4,
-        emb_batch=4,
-        pyannet_cfg=PyanNetConfig(
-            num_filters=32, conv_channels=16, lstm_hidden=16, lstm_layers=2,
-            linear_hidden=16,
-        ),
-        ecapa_cfg=EcapaConfig(
-            in_channels=80, channels=(64, 64, 64, 64, 128),
-            attention_channels=16, se_channels=16, emb_dim=32,
-        ),
-    )
+def dump_session(small5s_pipeline):
+    # real recipe constants (5 s / 0.5 s windows, 293 frames, real
+    # thresholds) with small model architectures (tests/conftest.py) — the
+    # golden regression pins the PIPELINE numerics; model-scale parity is
+    # covered by tests/test_models.py and tests/test_convert.py
     dump = dd.DumpSession(write_text=False)
-    annotation = run_with_dumps(pipeline, synth_wav(), dump)
+    annotation = run_with_dumps(small5s_pipeline, synth_wav(), dump)
     return dump, annotation
 
 

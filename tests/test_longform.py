@@ -143,3 +143,96 @@ def test_longform_from_wav_file_partial_reads(tiny_pipeline):
         single = tiny_pipeline(quantized)
         sharded = LongFormDiarizer(tiny_pipeline, num_shards=4)(path)
         assert str(single) == str(sharded)
+
+
+# ---------------------------------------------------------------------------
+# the ACTUAL multi-host branch, executed with simulated hosts
+# ---------------------------------------------------------------------------
+
+
+class _Rendezvous:
+    """A real collective rendezvous for simulated hosts: every rank deposits
+    its padded array, a barrier synchronizes, all ranks read the stack —
+    the same contract as multihost_utils.process_allgather over DCN."""
+
+    def __init__(self, world: int):
+        import threading
+
+        self.world = world
+        self.barrier = threading.Barrier(world)
+        self.bufs = [None] * world
+
+    def allgather(self, rank: int, x: np.ndarray) -> np.ndarray:
+        self.bufs[rank] = np.asarray(x)
+        self.barrier.wait()
+        out = np.stack(self.bufs)
+        self.barrier.wait()  # everyone read before the next round overwrites
+        return out
+
+
+class FakeComm:
+    def __init__(self, rendezvous: _Rendezvous, rank: int):
+        self._rdv = rendezvous
+        self._rank = rank
+
+    def process_count(self) -> int:
+        return self._rdv.world
+
+    def process_index(self) -> int:
+        return self._rank
+
+    def allgather(self, x: np.ndarray) -> np.ndarray:
+        return self._rdv.allgather(self._rank, x)
+
+
+def _run_simulated_hosts(pipeline, audio, world: int):
+    """Run LongFormDiarizer's multi-host branch on `world` simulated hosts
+    (one thread per host, collective via _Rendezvous). Returns the per-host
+    annotations; raises if any host fails or the collective deadlocks."""
+    import threading
+
+    rdv = _Rendezvous(world)
+    results = [None] * world
+    errors = []
+
+    def worker(rank):
+        try:
+            lf = LongFormDiarizer(pipeline, comm=FakeComm(rdv, rank))
+            assert lf._multihost
+            results[rank] = lf(audio)
+        except Exception as e:  # noqa: BLE001 - surface to the main thread
+            errors.append((rank, e))
+            rdv.barrier.abort()
+
+    threads = [threading.Thread(target=worker, args=(r,)) for r in range(world)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+        assert not t.is_alive(), "simulated multi-host run deadlocked"
+    assert not errors, f"host failures: {errors}"
+    return results
+
+
+def test_multihost_branch_uneven_shards_with_orphan(tiny_pipeline):
+    """2 simulated hosts, odd chunk count (uneven 5+4 shards), short orphan
+    tail in the last shard — exercises the pad -> process_allgather ->
+    per-host trim path (parallel/longform.py _gather + _multihost branch)
+    end-to-end and requires equality with the single-shot pipeline."""
+    rng = np.random.default_rng(11)
+    audio = (0.1 * rng.normal(size=int(4.8 * 16000))).astype(np.float32)
+    single = tiny_pipeline(audio)
+    results = _run_simulated_hosts(tiny_pipeline, audio, world=2)
+    for rank, ann in enumerate(results):
+        assert str(ann) == str(single), f"host {rank} diverged from single-shot"
+
+
+def test_multihost_branch_more_hosts_than_chunks(tiny_pipeline):
+    """3 simulated hosts, 1 chunk: two hosts own empty shards and must still
+    join the collective (the round-1 advisor deadlock scenario)."""
+    rng = np.random.default_rng(12)
+    audio = (0.1 * rng.normal(size=int(0.9 * 16000))).astype(np.float32)
+    single = tiny_pipeline(audio)
+    results = _run_simulated_hosts(tiny_pipeline, audio, world=3)
+    for rank, ann in enumerate(results):
+        assert str(ann) == str(single), f"host {rank} diverged from single-shot"
