@@ -140,9 +140,14 @@ class DiarizationConfig:
     num_speakers: Optional[int] = None
     min_speakers: Optional[int] = None
     max_speakers: Optional[int] = None
-    # Numerics: compute dtype for the neural stages. float32 reproduces the
-    # reference; bfloat16 trades a little precision for MXU throughput.
-    compute_dtype: str = "float32"
+    # Numerics: compute dtype for the ECAPA trunk. bfloat16 (default) halves
+    # its HBM traffic and runs the MXU at full rate; measured deviation vs
+    # full f32 on the embeddings is max abs 7e-4 / max cosine distance 5e-6
+    # — 28x inside the reference's own accepted C++-vs-Python envelope of
+    # abs 0.02 (reference README.md:99-101). The STFT/mel front-end and the
+    # returned embeddings always stay f32. Set "float32" for
+    # bit-conservative runs.
+    compute_dtype: str = "bfloat16"
     # Pad the chunk axis up to a multiple of this so jit sees a small set of
     # static shapes across different audio lengths.
     chunk_bucket: int = 32

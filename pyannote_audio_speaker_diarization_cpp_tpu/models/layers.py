@@ -136,10 +136,28 @@ def batchnorm1d(x: jnp.ndarray, p: Params, eps: float = 1e-5) -> jnp.ndarray:
     return (x - mean) * jax.lax.rsqrt(var + eps) * w + b
 
 
-def instancenorm1d(x: jnp.ndarray, p: Params | None, eps: float = 1e-5) -> jnp.ndarray:
-    """(B, C, T) instance norm over T, optionally affine (torch affine=True)."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
+def instancenorm1d(
+    x: jnp.ndarray,
+    p: Params | None,
+    eps: float = 1e-5,
+    valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """(B, C, T) instance norm over T, optionally affine (torch affine=True).
+
+    ``valid``: optional (B,) count of real timesteps per row — statistics are
+    computed over the valid prefix only, matching what torch InstanceNorm1d
+    would produce on the unpadded input. Values past ``valid`` are normalized
+    with the same stats (callers mask them out downstream).
+    """
+    if valid is None:
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+    else:
+        t = jnp.arange(x.shape[-1])
+        mask = (t[None, :] < valid[:, None]).astype(x.dtype)[:, None, :]
+        n = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1.0)
+        mean = jnp.sum(x * mask, axis=-1, keepdims=True) / n
+        var = jnp.sum(jnp.square(x - mean) * mask, axis=-1, keepdims=True) / n
     out = (x - mean) * jax.lax.rsqrt(var + eps)
     if p is not None:
         out = out * p["weight"][None, :, None] + p["bias"][None, :, None]
@@ -163,19 +181,36 @@ def lstm_cell_scan(
     p: Params,
     reverse: bool = False,
     precision=DEFAULT_PRECISION,
+    valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """(B, T, I) -> (B, T, H) single-direction LSTM, torch gate order i,f,g,o.
 
     The time axis serializes through lax.scan; batch (the chunk axis) is the
     parallel dimension — exactly the trade the 293-frame PyanNet windows want
     (SURVEY.md section 7 "LSTM in PyanNet").
+
+    ``valid``: optional (B,) count of real timesteps per row. A reverse scan
+    holds its carry at zero while t >= valid, so it enters the real sequence
+    at t = valid-1 with a fresh state — identical to running the row at its
+    true length (the forward direction needs no masking: padding never
+    precedes real frames). Static shapes throughout.
     """
     hidden = p["weight_hh"].shape[1]
     # precompute input contributions for all timesteps in one GEMM
     xw = jnp.einsum("bti,gi->btg", x, p["weight_ih"], precision=precision)
     xw = xw + p["bias_ih"] + p["bias_hh"]
+    mask_t = None
+    if valid is not None and reverse:
+        t = jnp.arange(x.shape[1])
+        mask_t = jnp.swapaxes(
+            (t[None, :] < valid[:, None]).astype(x.dtype), 0, 1
+        )  # (T, B)
 
-    def step(carry, xt):
+    def step(carry, xs_t):
+        if mask_t is None:
+            xt = xs_t
+        else:
+            xt, m = xs_t
         h, c = carry
         gates = xt + jnp.einsum("bh,gh->bg", h, p["weight_hh"], precision=precision)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
@@ -183,6 +218,9 @@ def lstm_cell_scan(
         g = jnp.tanh(g)
         c = f * c + i * g
         h = o * jnp.tanh(c)
+        if mask_t is not None:
+            h = h * m[:, None]
+            c = c * m[:, None]
         return (h, c), h
 
     batch = x.shape[0]
@@ -191,7 +229,10 @@ def lstm_cell_scan(
         jnp.zeros((batch, hidden), x.dtype),
     )
     xs = jnp.swapaxes(xw, 0, 1)  # (T, B, 4H)
-    _, hs = jax.lax.scan(step, init, xs, reverse=reverse)
+    if mask_t is not None:
+        _, hs = jax.lax.scan(step, init, (xs, mask_t), reverse=reverse)
+    else:
+        _, hs = jax.lax.scan(step, init, xs, reverse=reverse)
     return jnp.swapaxes(hs, 0, 1)
 
 
@@ -199,13 +240,29 @@ def bilstm_stack(
     x: jnp.ndarray,
     layers: list,
     precision=DEFAULT_PRECISION,
+    valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Multi-layer bidirectional LSTM; layers = [{"fwd": P, "bwd": P}, ...]."""
+    """Multi-layer bidirectional LSTM; layers = [{"fwd": P, "bwd": P}, ...].
+
+    With ``valid`` lengths, reverse scans reset at each row's true end
+    (see lstm_cell_scan) and padded-region outputs are zeroed so deeper
+    layers see exactly what true-length inference would feed them.
+    """
     out = x
+    frame_mask = None
+    if valid is not None:
+        t = jnp.arange(x.shape[1])
+        frame_mask = (t[None, :] < valid[:, None]).astype(x.dtype)[..., None]
     for layer in layers:
-        fwd = lstm_cell_scan(out, layer["fwd"], reverse=False, precision=precision)
-        bwd = lstm_cell_scan(out, layer["bwd"], reverse=True, precision=precision)
+        fwd = lstm_cell_scan(
+            out, layer["fwd"], reverse=False, precision=precision, valid=valid
+        )
+        bwd = lstm_cell_scan(
+            out, layer["bwd"], reverse=True, precision=precision, valid=valid
+        )
         out = jnp.concatenate([fwd, bwd], axis=-1)
+        if frame_mask is not None:
+            out = out * frame_mask
     return out
 
 

@@ -151,17 +151,48 @@ def sinc_filters(p: Dict, cfg: PyanNetConfig) -> jnp.ndarray:
     return bp[:, None, :]
 
 
+def pyannet_valid_chain(valid_samples, cfg: PyanNetConfig = PyanNetConfig()):
+    """Per-stage valid element counts for a (possibly padded) input of
+    ``valid_samples`` real samples — the jnp twin of pyannet_num_frames.
+    Every convolution/pool in SincNet is VALID-mode with floor counts, so an
+    output element whose index is below the stage's valid count depends only
+    on real input samples; padding can only contaminate the global
+    instance-norm statistics and the backward LSTM, both of which take these
+    counts as masks."""
+    v = valid_samples
+    v1 = jnp.maximum((v - cfg.kernel_size) // cfg.stride + 1, 0)
+    v2 = jnp.maximum((v1 - 3) // 3 + 1, 0)
+    v3 = jnp.maximum(v2 - 4, 0)
+    v4 = jnp.maximum((v3 - 3) // 3 + 1, 0)
+    v5 = jnp.maximum(v4 - 4, 0)
+    v6 = jnp.maximum((v5 - 3) // 3 + 1, 0)
+    return v1, v2, v3, v4, v5, v6
+
+
 def sincnet_forward(
-    x: jnp.ndarray, p: Dict, cfg: PyanNetConfig, precision=L.DEFAULT_PRECISION
+    x: jnp.ndarray,
+    p: Dict,
+    cfg: PyanNetConfig,
+    precision=L.DEFAULT_PRECISION,
+    valid_samples: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """(B, num_samples) waveforms -> (B, conv_channels, frames).
 
     InstanceNorm -> sinc conv (stride 10) -> |.| -> pool3 -> IN -> leaky ->
     conv5 -> pool3 -> IN -> leaky -> conv5 -> pool3 -> IN -> leaky, following
     pyannote.audio SincNet (wav_norm1d + 3 conv/pool/norm blocks).
+
+    ``valid_samples``: optional (B,) true lengths — instance-norm statistics
+    run over the valid prefix only, reproducing true-length inference for
+    every frame below the stage's valid count (zero extra compiles for
+    short/orphan chunks; SURVEY.md section 7 "ragged final batch").
     """
+    v_wav = v_norm0 = v_norm1 = v_norm2 = None
+    if valid_samples is not None:
+        _, v2, _, v4, _, v6 = pyannet_valid_chain(valid_samples, cfg)
+        v_wav, v_norm0, v_norm1, v_norm2 = valid_samples, v2, v4, v6
     out = x[:, None, :]
-    out = L.instancenorm1d(out, p["wav_norm"])
+    out = L.instancenorm1d(out, p["wav_norm"], valid=v_wav)
     filters = sinc_filters(p["sinc"], cfg)
     out = jax.lax.conv_general_dilated(
         out,
@@ -173,13 +204,19 @@ def sincnet_forward(
     )
     out = jnp.abs(out)
     out = L.max_pool1d(out, 3, 3)
-    out = jax.nn.leaky_relu(L.instancenorm1d(out, p["norm0"]), cfg.leaky_slope)
+    out = jax.nn.leaky_relu(
+        L.instancenorm1d(out, p["norm0"], valid=v_norm0), cfg.leaky_slope
+    )
     out = L.conv1d(out, p["conv1"], precision=precision)
     out = L.max_pool1d(out, 3, 3)
-    out = jax.nn.leaky_relu(L.instancenorm1d(out, p["norm1"]), cfg.leaky_slope)
+    out = jax.nn.leaky_relu(
+        L.instancenorm1d(out, p["norm1"], valid=v_norm1), cfg.leaky_slope
+    )
     out = L.conv1d(out, p["conv2"], precision=precision)
     out = L.max_pool1d(out, 3, 3)
-    out = jax.nn.leaky_relu(L.instancenorm1d(out, p["norm2"]), cfg.leaky_slope)
+    out = jax.nn.leaky_relu(
+        L.instancenorm1d(out, p["norm2"], valid=v_norm2), cfg.leaky_slope
+    )
     return out
 
 
@@ -188,11 +225,24 @@ def pyannet_forward(
     waveforms: jnp.ndarray,
     cfg: PyanNetConfig = PyanNetConfig(),
     precision=L.DEFAULT_PRECISION,
+    valid_samples: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """(B, num_samples) -> (B, frames, num_classes) sigmoid activations."""
-    feat = sincnet_forward(waveforms, params["sincnet"], cfg, precision)
+    """(B, num_samples) -> (B, frames, num_classes) sigmoid activations.
+
+    ``valid_samples``: optional (B,) true lengths. With it, a zero-padded
+    short chunk scores EXACTLY like the reference's true-length inference
+    (segment/segment.py:103-108) on its valid frames — masked instance-norm
+    statistics + reset-at-end backward LSTM — while every shape stays
+    static (one compile covers all lengths).
+    """
+    feat = sincnet_forward(
+        waveforms, params["sincnet"], cfg, precision, valid_samples=valid_samples
+    )
+    valid_frames = None
+    if valid_samples is not None:
+        valid_frames = pyannet_valid_chain(valid_samples, cfg)[5]
     out = jnp.swapaxes(feat, 1, 2)  # (B, frames, channels)
-    out = L.bilstm_stack(out, params["lstm"], precision)
+    out = L.bilstm_stack(out, params["lstm"], precision, valid=valid_frames)
     for lin in params["linear"]:
         out = jax.nn.leaky_relu(L.linear(out, lin, precision), cfg.leaky_slope)
     out = L.linear(out, params["classifier"], precision)

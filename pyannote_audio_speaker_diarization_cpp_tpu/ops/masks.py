@@ -151,11 +151,13 @@ def pack_and_lengths(
         (segment/segment.py:298-303).
 
     ``backend``: "pallas" (the ops/pack_pallas.py kernel — ~25x faster than
-    any XLA formulation on TPU, bit-exact), "jnp" (the scatter left_pack),
-    or "auto" (pallas on TPU, jnp elsewhere). Nearest interpolation is
-    value-preserving, so thresholding at frame level before upsampling is
-    identical to thresholding after — the pallas path never materializes the
-    sample-level mask.
+    any XLA formulation on TPU, bit-exact), "jnp" (pack_frame_runs — the
+    frame-run gather, partitionable by XLA under a mesh), "scatter" (the
+    sample-level left_pack scatter, kept as the direct transcription of the
+    reference semantics), or "auto" (pallas on TPU, jnp elsewhere). Nearest
+    interpolation is value-preserving, so thresholding at frame level before
+    upsampling is identical to thresholding after — the pallas and jnp paths
+    never materialize the sample-level mask.
     """
     num_samples = waveforms.shape[-1]
     if backend == "auto":
@@ -165,6 +167,9 @@ def pack_and_lengths(
 
         keep_frames = (masks > mask_threshold).astype(waveforms.dtype)
         signals, lens = pack_frames_pallas(waveforms, keep_frames, num_samples)
+    elif backend == "jnp":
+        keep_frames = masks > mask_threshold
+        signals, lens = pack_frame_runs(waveforms, keep_frames, num_samples)
     else:
         imasks = interpolate_nearest(masks, num_samples) > mask_threshold
         signals = left_pack(waveforms, imasks.astype(waveforms.dtype))

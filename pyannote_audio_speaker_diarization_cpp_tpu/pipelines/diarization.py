@@ -71,6 +71,14 @@ def load_waveform(
     return waveform
 
 
+# Compiled stage functions shared across pipeline instances with identical
+# static configuration (model params are ARGUMENTS of the jitted steps, so
+# two pipelines that differ only in weights — or in host-side concerns like
+# the clusterer — reuse one compilation). Keyed by every input _build_steps
+# closes over; a serving process spinning up pipelines pays compile once.
+_STEP_CACHE: Dict = {}
+
+
 @dataclasses.dataclass
 class StageTimings:
     segmentation: float = 0.0
@@ -101,8 +109,8 @@ class SpeakerDiarizationPipeline:
         # front-end always runs at full f32 (ops/frontend.py).
         precision=jax.lax.Precision.DEFAULT,
         clusterer: Union[str, object] = "ahc",
-        frontend_backend: str = "jnp",
-        exact_orphan: bool = False,
+        frontend_backend: str = "auto",
+        exact_orphan: bool = True,
         pyannet_cfg: Optional[pyannet_mod.PyanNetConfig] = None,
         ecapa_cfg: Optional[ecapa_mod.EcapaConfig] = None,
     ):
@@ -138,15 +146,30 @@ class SpeakerDiarizationPipeline:
             else:
                 raise ValueError(f"unknown clusterer: {clusterer!r}")
         self.clusterer = clusterer
-        # "jnp" (default; XLA already fuses the chain) or "pallas" (the
-        # explicit fused kernel in ops/frontend_pallas.py)
+        # "jnp" (XLA-fused GEMM chain), "pallas" (the explicit fused kernel
+        # in ops/frontend_pallas.py), or "auto" (measured winner on TPU v5e:
+        # pallas 0.034 vs jnp 0.081 ms/batch at B=32; jnp wins from B~128 —
+        # BENCH_r02). The pallas kernel is single-device code, so meshes
+        # stay on jnp.
+        if frontend_backend == "auto":
+            frontend_backend = (
+                "pallas"
+                if (
+                    jax.default_backend() == "tpu"
+                    and (mesh is None or mesh.size == 1)
+                    and (emb_batch or config.embedding.batch_size) <= 64
+                )
+                else "jnp"
+            )
         self.frontend_backend = frontend_backend
-        # The orphan (short last) chunk is zero-padded on the input side by
-        # default; PyanNet's instance norms see the padding, so its valid
-        # frames deviate from reference short-input inference by up to
-        # ~0.008 sigmoid (one chunk, edge of audio). exact_orphan=True
-        # reproduces the reference exactly by running the orphan at its true
-        # length — at the cost of one jit compile per distinct orphan length.
+        # exact_orphan=True (default): every chunk is scored with its TRUE
+        # sample count via the masked-statistics PyanNet path (masked
+        # instance norms + reset-at-end backward LSTM), so the short orphan
+        # chunk matches the reference's true-length inference
+        # (segment/segment.py:103-108) with zero per-length recompiles and
+        # static shapes. False restores the round-1 behavior (zero-padding
+        # visible to the norms; up to ~0.008 sigmoid deviation on the
+        # orphan's frames).
         self.exact_orphan = exact_orphan
         self.timings = StageTimings()
         self._build_steps()
@@ -156,6 +179,25 @@ class SpeakerDiarizationPipeline:
     # ------------------------------------------------------------------
 
     def _build_steps(self):
+        cache_key = None
+        try:
+            cache_key = (
+                self.config,
+                self.pyannet_cfg,
+                self.ecapa_cfg,
+                self.seg_batch,
+                self.emb_batch,
+                self.precision,
+                self.frontend_backend,
+                self.exact_orphan,
+                id(self.mesh) if self.mesh is not None else None,
+            )
+            cached = _STEP_CACHE.get(cache_key)
+        except TypeError:  # unhashable config (e.g. list-valued channels)
+            cached = None
+        if cached is not None:
+            self._stage1, self._stage2, self._post = cached
+            return
         cfg = self.config
         seg_cfg = cfg.segmentation
         precision = self.precision
@@ -245,32 +287,10 @@ class SpeakerDiarizationPipeline:
             )
             return emb.astype(jnp.float32), too_short
 
-        def stage1(params, wav_padded, valid_frames):
-            """ONE dispatch: chunk -> PyanNet (scanned batches) -> orphan/pad
-            masking -> binarize -> mask choice -> speaker-count aggregation.
-
-            valid_frames[i] = number of model output frames backed by real
-            audio in chunk i (0 for bucket-padding chunks); the reference
-            zero-pads the orphan chunk's model output the same way
-            (segment/segment.py:103-108).
-            """
-            num_chunks = valid_frames.shape[0]
-            chunks = device_chunks(wav_padded, num_chunks)
-            nb = num_chunks // self.seg_batch
-            batches = shard_rows(
-                chunks.reshape(nb, self.seg_batch, seg_cfg.window_size), 3
-            )
-            segs = jax.lax.map(
-                lambda b: pyannet_mod.pyannet_forward(
-                    params, b, self.pyannet_cfg, precision=precision
-                ),
-                batches,
-            ).reshape(num_chunks, seg_cfg.num_frames, seg_cfg.num_speakers)
-            segs = replicate(segs)
-            frame_idx = jnp.arange(seg_cfg.num_frames)
-            segs = jnp.where(
-                (frame_idx[None, :] < valid_frames[:, None])[..., None], segs, 0.0
-            )
+        def post_process(segs, valid_frames):
+            """Binarize -> mask choice -> speaker-count aggregation from the
+            (padding-masked) scores. Shared by stage1 and the exact-orphan
+            re-run (one jitted dispatch either way)."""
             binarized = bz.binarize_swf(segs, seg_cfg.onset, seg_cfg.offset)
             cleaned = mk.clean_segmentations(binarized)
             chosen = mk.choose_masks(binarized, cleaned, min_num_frames)
@@ -283,7 +303,7 @@ class SpeakerDiarizationPipeline:
             trimmed = binarized[:, left : seg_cfg.num_frames - right, :]
             summed = jnp.sum(trimmed, axis=-1, keepdims=True)
             summed = jnp.where((valid_frames > 0)[:, None, None], summed, jnp.nan)
-            plan = self._count_plan(num_chunks)
+            plan = self._count_plan(valid_frames.shape[0])
             count_raw = agg_aggregate(
                 summed,
                 jnp.asarray(plan.start_frames),
@@ -291,7 +311,59 @@ class SpeakerDiarizationPipeline:
                 missing=0.0,
                 skip_average=False,
             )[:, 0]
-            return segs, binarized, chosen, count_raw
+            # tiny (chunks, speakers) bool: lets __call__ skip fetching the
+            # full binarized tensor (450 KB saved per minute of audio — the
+            # tunnel d2h transfers dominate the wall clock)
+            inactive = jnp.sum(binarized, axis=1) == 0
+            return binarized, chosen, count_raw, inactive
+
+        def stage1(params, wav_padded, valid_frames, valid_samples):
+            """ONE dispatch: chunk -> PyanNet (scanned batches) -> orphan/pad
+            masking -> binarize -> mask choice -> speaker-count aggregation.
+
+            valid_frames[i] = number of model output frames backed by real
+            audio in chunk i (0 for bucket-padding chunks); the reference
+            zero-pads the orphan chunk's model output the same way
+            (segment/segment.py:103-108). valid_samples[i] = true sample
+            count of chunk i — with exact_orphan (default) the model's
+            masked-statistics path scores the short orphan chunk EXACTLY
+            like true-length inference, at static shapes (no per-length
+            recompiles; models/pyannet.py pyannet_forward).
+            """
+            num_chunks = valid_frames.shape[0]
+            chunks = device_chunks(wav_padded, num_chunks)
+            nb = num_chunks // self.seg_batch
+            batches = shard_rows(
+                chunks.reshape(nb, self.seg_batch, seg_cfg.window_size), 3
+            )
+            if self.exact_orphan:
+                vs_batches = shard_rows(
+                    valid_samples.reshape(nb, self.seg_batch), 2
+                )
+                segs = jax.lax.map(
+                    lambda bv: pyannet_mod.pyannet_forward(
+                        params,
+                        bv[0],
+                        self.pyannet_cfg,
+                        precision=precision,
+                        valid_samples=bv[1],
+                    ),
+                    (batches, vs_batches),
+                )
+            else:
+                segs = jax.lax.map(
+                    lambda b: pyannet_mod.pyannet_forward(
+                        params, b, self.pyannet_cfg, precision=precision
+                    ),
+                    batches,
+                )
+            segs = segs.reshape(num_chunks, seg_cfg.num_frames, seg_cfg.num_speakers)
+            segs = replicate(segs)
+            frame_idx = jnp.arange(seg_cfg.num_frames)
+            segs = jnp.where(
+                (frame_idx[None, :] < valid_frames[:, None])[..., None], segs, 0.0
+            )
+            return (segs,) + post_process(segs, valid_frames)
 
         def stage2(params, wav_padded, chosen):
             """ONE dispatch: rebuild chunks, then scan embedding batches of
@@ -324,13 +396,13 @@ class SpeakerDiarizationPipeline:
         # allgather the stage outputs (device-major DP, no host loop)
         self._stage1 = jax.jit(stage1)
         self._stage2 = jax.jit(stage2)
-        # cached single-chunk forward for the exact-orphan path (one compile
-        # per distinct orphan length, not per call)
-        self._orphan_forward = jax.jit(
-            lambda p, w: pyannet_mod.pyannet_forward(
-                p, w, self.pyannet_cfg, precision=self.precision
+        self._post = jax.jit(post_process)
+        if cache_key is not None:
+            _STEP_CACHE[cache_key] = (
+                self._stage1,
+                self._stage2,
+                self._post,
             )
-        )
 
     def chunk_lattice(self, num_chunks: int) -> int:
         """Padded chunk count: the batch lattice keeps jit shapes static,
@@ -356,35 +428,6 @@ class SpeakerDiarizationPipeline:
         from ..ops.aggregate import plan_aggregation
 
         return plan_aggregation(num_chunks, trimmed_frames, frame_grid)
-
-    def _post_from_scores(self, segs, valid_frames):
-        """Eager binarize + mask choice + count from (padded) scores —
-        shared by the mesh path and the exact-orphan parity path."""
-        cfg = self.config
-        seg_cfg = cfg.segmentation
-        num_padded = valid_frames.shape[0]
-        binarized = bz.binarize_swf(segs, seg_cfg.onset, seg_cfg.offset)
-        cleaned = mk.clean_segmentations(binarized)
-        min_num_frames = float(
-            math.ceil(
-                seg_cfg.num_frames * cfg.embedding.min_num_samples / seg_cfg.window_size
-            )
-        )
-        chosen = mk.choose_masks(binarized, cleaned, min_num_frames)
-        left = math.floor(seg_cfg.num_frames * seg_cfg.warm_up[0])
-        right = math.floor(seg_cfg.num_frames * seg_cfg.warm_up[1])
-        trimmed = binarized[:, left : seg_cfg.num_frames - right, :]
-        summed = jnp.sum(trimmed, axis=-1, keepdims=True)
-        summed = jnp.where((valid_frames > 0)[:, None, None], summed, jnp.nan)
-        plan = self._count_plan(num_padded)
-        count_raw = agg_aggregate(
-            summed,
-            jnp.asarray(plan.start_frames),
-            plan.num_frames,
-            missing=0.0,
-            skip_average=False,
-        )[:, 0]
-        return binarized, chosen, count_raw
 
     # ------------------------------------------------------------------
     # the pipeline
@@ -430,37 +473,24 @@ class SpeakerDiarizationPipeline:
                 wav_padded = quant
         valid_frames = np.zeros(num_padded, dtype=np.int32)
         valid_frames[:num_chunks] = seg_cfg.num_frames
+        valid_samples = np.zeros(num_padded, dtype=np.int32)
+        valid_samples[:num_chunks] = seg_cfg.window_size
         orphan_samples = num_samples - (num_chunks - 1) * seg_cfg.step_size
         if orphan_samples < seg_cfg.window_size:
             valid_frames[num_chunks - 1] = max(
                 pyannet_mod.pyannet_num_frames(orphan_samples, self.pyannet_cfg), 0
             )
+            valid_samples[num_chunks - 1] = orphan_samples
         wav_dev = jnp.asarray(wav_padded)
         vf_dev = jnp.asarray(valid_frames)
+        vs_dev = jnp.asarray(valid_samples)
 
         chunk_frames = SlidingWindow(
             0.0, seg_cfg.step, seg_cfg.duration, num_samples=num_samples
         )
-        segmentations, binarized, chosen, count_raw = self._stage1(
-            self.params["segmentation"], wav_dev, vf_dev
+        segmentations, binarized, chosen, count_raw, inactive = self._stage1(
+            self.params["segmentation"], wav_dev, vf_dev, vs_dev
         )
-        if self.exact_orphan and orphan_samples < seg_cfg.window_size:
-            # reference-exact orphan handling: run the short chunk at its
-            # true length (segment/segment.py:103-108) and redo the host-side
-            # post-processing with the patched scores
-            valid = int(valid_frames[num_chunks - 1])
-            if valid > 0:
-                orphan = jnp.asarray(
-                    waveform[(num_chunks - 1) * seg_cfg.step_size :][None, :]
-                )
-                scores_o = self._orphan_forward(self.params["segmentation"], orphan)
-                patched = jnp.zeros(
-                    (seg_cfg.num_frames, seg_cfg.num_speakers), segmentations.dtype
-                ).at[:valid].set(scores_o[0, :valid])
-                segmentations = segmentations.at[num_chunks - 1].set(patched)
-                binarized, chosen, count_raw = self._post_from_scores(
-                    segmentations, vf_dev
-                )
         # ---------- stage 2: embeddings (dispatched before the stage-1
         # fetches so its device compute overlaps the host transfers) ----------
         emb, too_short = self._stage2(self.params["embedding"], wav_dev, chosen)
@@ -468,32 +498,42 @@ class SpeakerDiarizationPipeline:
         # the count grid for the real chunk count is a prefix of the padded
         # grid (same start/step; NaN-masked padding contributes nothing)
         real_plan = self._count_plan(num_chunks)
-        count = np.rint(np.asarray(count_raw[: real_plan.num_frames])).astype(np.int64)
         count_frames = dataclasses.replace(real_plan.frames, num_samples=num_samples)
+        jax.block_until_ready(count_raw)  # stage-1 device work complete
         self.timings.segmentation = time.perf_counter() - t0
 
+        # ONE combined device->host fetch: the remote-tunnel TPU pays a full
+        # round trip per transfer, so count/embeddings/scores travel together
+        # (binarized only in dump mode — finalize needs just `inactive`)
         t0 = time.perf_counter()
-        embeddings = np.asarray(emb[: num_chunks * seg_cfg.num_speakers], dtype=np.float64)
-        embeddings[np.asarray(too_short[: num_chunks * seg_cfg.num_speakers])] = np.nan
+        rows = num_chunks * seg_cfg.num_speakers
+        to_fetch = [
+            count_raw[: real_plan.num_frames],
+            emb[:rows],
+            too_short[:rows],
+            segmentations[:num_chunks],
+            inactive[:num_chunks],
+        ]
+        if dump is not None:
+            to_fetch.append(binarized[:num_chunks])
+        fetched = jax.device_get(tuple(to_fetch))
+        count_h, emb_h, too_short_h, segmentations, inactive_h = fetched[:5]
+        count = np.rint(count_h).astype(np.int64)
+        embeddings = np.asarray(emb_h, dtype=np.float64)
+        embeddings[too_short_h] = np.nan
         embeddings = embeddings.reshape(num_chunks, seg_cfg.num_speakers, -1)
         self.timings.embedding = time.perf_counter() - t0
         if dump is not None:
             dump.dump("embeddings", embeddings)
-
-        # trim bucket padding; fetch both tensors to host in one transfer
-        segmentations, binarized = jax.device_get(
-            (segmentations[:num_chunks], binarized[:num_chunks])
-        )
-        if dump is not None:
             dump.dump("segmentations", segmentations)
-            dump.dump("binarized_segmentations", binarized)
+            dump.dump("binarized_segmentations", fetched[5])
             dump.dump("count", count)
 
         # ---------- stage 3: clustering + reconstruction ----------
         t0 = time.perf_counter()
         annotation = self.finalize(
             segmentations,
-            binarized,
+            fetched[5] if dump is not None else None,
             embeddings,
             count,
             count_frames,
@@ -502,6 +542,7 @@ class SpeakerDiarizationPipeline:
             min_speakers=min_speakers,
             max_speakers=max_speakers,
             dump=dump,
+            inactive=inactive_h,
         )
         self.timings.clustering = time.perf_counter() - t0
         return annotation
@@ -542,36 +583,18 @@ class SpeakerDiarizationPipeline:
         wav_padded[: waveform_slice.shape[0]] = waveform_slice
         valid_frames = np.zeros(num_padded, dtype=np.int32)
         valid_frames[:num_chunks] = seg_cfg.num_frames
+        valid_samples = np.zeros(num_padded, dtype=np.int32)
+        valid_samples[:num_chunks] = seg_cfg.window_size
         if orphan_frames is not None:
             valid_frames[num_chunks - 1] = orphan_frames
+        if orphan_samples is not None and orphan_samples < seg_cfg.window_size:
+            valid_samples[num_chunks - 1] = orphan_samples
         wav_dev = jnp.asarray(wav_padded)
         vf_dev = jnp.asarray(valid_frames)
 
-        segs, binarized, chosen, _ = self._stage1(
-            self.params["segmentation"], wav_dev, vf_dev
+        segs, binarized, chosen, _, _ = self._stage1(
+            self.params["segmentation"], wav_dev, vf_dev, jnp.asarray(valid_samples)
         )
-        if (
-            self.exact_orphan
-            and orphan_samples is not None
-            and orphan_samples < seg_cfg.window_size
-            and orphan_frames is not None
-            and orphan_frames > 0
-        ):
-            # same reference-exact orphan re-run as __call__: score the short
-            # chunk at its true length and redo the post-processing before
-            # dispatching stage 2 (so the patched masks feed the embeddings)
-            start = (num_chunks - 1) * seg_cfg.step_size
-            orphan = jnp.asarray(
-                np.asarray(
-                    waveform_slice[start : start + orphan_samples], dtype=np.float32
-                )[None, :]
-            )
-            scores_o = self._orphan_forward(self.params["segmentation"], orphan)
-            patched = jnp.zeros(
-                (seg_cfg.num_frames, seg_cfg.num_speakers), segs.dtype
-            ).at[:orphan_frames].set(scores_o[0, :orphan_frames])
-            segs = segs.at[num_chunks - 1].set(patched)
-            binarized, chosen, _ = self._post_from_scores(segs, vf_dev)
         emb, too_short = self._stage2(self.params["embedding"], wav_dev, chosen)
 
         rows = num_chunks * seg_cfg.num_speakers
@@ -594,11 +617,15 @@ class SpeakerDiarizationPipeline:
         min_speakers: Optional[int] = None,
         max_speakers: Optional[int] = None,
         dump=None,
+        inactive: Optional[np.ndarray] = None,
     ) -> Annotation:
         """Stage 3 on host tensors: cluster embeddings, reconstruct the
         global timeline, decode turns. Shared by the standard path and the
         long-form multi-host path (parallel/longform.py), which feeds
-        allgathered per-host outputs here."""
+        allgathered per-host outputs here. ``inactive`` (chunks, speakers)
+        bool marks locally-silent speakers; derived from ``binarized`` when
+        not supplied (callers fetching from device pass it precomputed so
+        the full binarized tensor never travels)."""
         cfg = self.config
         seg_cfg = cfg.segmentation
         cluster_kwargs = {}
@@ -613,7 +640,8 @@ class SpeakerDiarizationPipeline:
         )
 
         # inactive local speakers -> -2 (speakerDiarizer.cpp:3166-3191)
-        inactive = binarized.sum(axis=1) == 0
+        if inactive is None:
+            inactive = binarized.sum(axis=1) == 0
         hard = np.asarray(hard)
         hard[inactive] = -2
 

@@ -31,9 +31,12 @@ class EmbeddingPipeline:
         seed: int = 0,
         batch_size: Optional[int] = None,
         precision=L.DEFAULT_PRECISION,
+        ecapa_cfg: Optional["ecapa_mod.EcapaConfig"] = None,
     ):
         self.config = config
-        self.ecapa_cfg = ecapa_mod.EcapaConfig(in_channels=config.frontend.n_mels)
+        self.ecapa_cfg = ecapa_cfg or ecapa_mod.EcapaConfig(
+            in_channels=config.frontend.n_mels
+        )
         if params is None:
             params = {
                 "embedding": ecapa_mod.init_ecapa(

@@ -38,9 +38,10 @@ class SegmentationPipeline:
         seed: int = 0,
         seg_batch: Optional[int] = None,
         precision=L.DEFAULT_PRECISION,
+        pyannet_cfg: Optional[pyannet_mod.PyanNetConfig] = None,
     ):
         self.config = config
-        self.pyannet_cfg = pyannet_mod.PyanNetConfig(
+        self.pyannet_cfg = pyannet_cfg or pyannet_mod.PyanNetConfig(
             sample_rate=config.segmentation.sample_rate,
             num_classes=config.segmentation.num_speakers,
         )

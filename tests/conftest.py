@@ -50,11 +50,9 @@ def small5s_pipeline():
     depend on it."""
     import dataclasses as dc
 
+    from _cfg import SMALL_ECAPA, SMALL_PYANNET
+
     from pyannote_audio_speaker_diarization_cpp_tpu.config import DEFAULT_CONFIG
-    from pyannote_audio_speaker_diarization_cpp_tpu.models.ecapa import EcapaConfig
-    from pyannote_audio_speaker_diarization_cpp_tpu.models.pyannet import (
-        PyanNetConfig,
-    )
     from pyannote_audio_speaker_diarization_cpp_tpu.pipelines.diarization import (
         SpeakerDiarizationPipeline,
     )
@@ -65,12 +63,16 @@ def small5s_pipeline():
         seed=0,
         seg_batch=4,
         emb_batch=4,
-        pyannet_cfg=PyanNetConfig(
-            num_filters=32, conv_channels=16, lstm_hidden=16, lstm_layers=2,
-            linear_hidden=16,
-        ),
-        ecapa_cfg=EcapaConfig(
-            in_channels=80, channels=(64, 64, 64, 64, 128),
-            attention_channels=16, se_channels=16, emb_dim=32,
-        ),
+        pyannet_cfg=SMALL_PYANNET,
+        ecapa_cfg=SMALL_ECAPA,
     )
+
+
+@pytest.fixture(scope="session")
+def tiny1s_pipeline():
+    """THE shared e2e pipeline: 1 s / 0.5 s windows, small models, seed 0.
+    Pipelines built with the same static configuration elsewhere in the
+    suite share its compiled stages via the in-process step cache."""
+    from _cfg import make_tiny1s_pipeline
+
+    return make_tiny1s_pipeline()

@@ -32,27 +32,10 @@ def test_compare_dumps_tolerances(tmp_path):
     assert results["clusters"] == "mismatch"
 
 
-def test_pipeline_dump_session(tmp_path):
-    from pyannote_audio_speaker_diarization_cpp_tpu.config import (
-        DiarizationConfig,
-        SegmentationConfig,
-    )
-    from pyannote_audio_speaker_diarization_cpp_tpu.models.pyannet import (
-        pyannet_num_frames,
-    )
-    from pyannote_audio_speaker_diarization_cpp_tpu.pipelines.diarization import (
-        SpeakerDiarizationPipeline,
-    )
-
-    cfg = DiarizationConfig(
-        segmentation=SegmentationConfig(
-            duration=1.0, step=0.5, batch_size=4, num_frames=pyannet_num_frames(16000)
-        )
-    )
-    pipe = SpeakerDiarizationPipeline(cfg, seg_batch=4, emb_batch=6)
+def test_pipeline_dump_session(tmp_path, tiny1s_pipeline):
     audio = (0.1 * np.random.default_rng(0).normal(size=2 * 16000)).astype(np.float32)
     session = dd.DumpSession(str(tmp_path), prefix="jax")
-    pipe(audio, dump=session)
+    tiny1s_pipeline(audio, dump=session)
     expected = {
         "segmentations",
         "binarized_segmentations",

@@ -7,20 +7,10 @@ import tempfile
 import numpy as np
 import pytest
 
-from pyannote_audio_speaker_diarization_cpp_tpu.config import (
-    DiarizationConfig,
-    SegmentationConfig,
-)
 from pyannote_audio_speaker_diarization_cpp_tpu.io import wav as wavio
-from pyannote_audio_speaker_diarization_cpp_tpu.models.pyannet import (
-    pyannet_num_frames,
-)
 from pyannote_audio_speaker_diarization_cpp_tpu.parallel.longform import (
     LongFormDiarizer,
     plan_shards,
-)
-from pyannote_audio_speaker_diarization_cpp_tpu.pipelines.diarization import (
-    SpeakerDiarizationPipeline,
 )
 
 WINDOW, STEP = 80000, 8000
@@ -104,17 +94,9 @@ def test_wav_info_matches_read():
 # ---------------------------------------------------------------------------
 
 
-TINY_CFG = DiarizationConfig(
-    segmentation=SegmentationConfig(
-        duration=1.0, step=0.5, batch_size=8, num_frames=pyannet_num_frames(16000)
-    ),
-    chunk_bucket=8,
-)
-
-
 @pytest.fixture(scope="module")
-def tiny_pipeline():
-    return SpeakerDiarizationPipeline(TINY_CFG, seed=0, seg_batch=8, emb_batch=8)
+def tiny_pipeline(tiny1s_pipeline):
+    return tiny1s_pipeline
 
 
 def test_longform_equals_single_shot(tiny_pipeline):

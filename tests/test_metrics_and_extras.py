@@ -128,29 +128,21 @@ def test_spectral_known_num_clusters():
 
 @pytest.fixture(scope="module")
 def small_cfg():
-    from pyannote_audio_speaker_diarization_cpp_tpu.config import (
-        DiarizationConfig,
-        SegmentationConfig,
-    )
-    from pyannote_audio_speaker_diarization_cpp_tpu.models.pyannet import (
-        pyannet_num_frames,
-    )
+    from _cfg import TINY1S_CFG
 
-    return DiarizationConfig(
-        segmentation=SegmentationConfig(
-            duration=1.0, step=0.5, batch_size=4, num_frames=pyannet_num_frames(16000)
-        )
-    )
+    return TINY1S_CFG
 
 
 def test_segmentation_pipeline(small_cfg):
+    from _cfg import SMALL_PYANNET
+
     from pyannote_audio_speaker_diarization_cpp_tpu.pipelines.segmentation import (
         SegmentationPipeline,
     )
 
     rng = np.random.default_rng(0)
     audio = (0.1 * rng.normal(size=3 * 16000)).astype(np.float32)
-    pipe = SegmentationPipeline(small_cfg, seg_batch=4)
+    pipe = SegmentationPipeline(small_cfg, seg_batch=4, pyannet_cfg=SMALL_PYANNET)
     swf = pipe.slide(audio)
     assert swf.data.shape[0] == 5  # 3 s -> chunks at 0, .5, 1, 1.5, 2(+orphan)
     assert swf.data.shape[2] == 3
@@ -165,13 +157,13 @@ def test_embedding_pipeline(small_cfg):
     )
     from pyannote_audio_speaker_diarization_cpp_tpu.models.ecapa import EcapaConfig
 
-    pipe = EmbeddingPipeline(small_cfg, batch_size=4)
-    # tiny ECAPA for CPU test speed
-    pipe.ecapa_cfg = EcapaConfig(in_channels=80)
+    from _cfg import SMALL_ECAPA
+
+    pipe = EmbeddingPipeline(small_cfg, batch_size=4, ecapa_cfg=SMALL_ECAPA)
     rng = np.random.default_rng(1)
     wav = (0.1 * rng.normal(size=(5, 16000))).astype(np.float32)
     emb = pipe(wav)
-    assert emb.shape == (5, 192)
+    assert emb.shape == (5, SMALL_ECAPA.emb_dim)
     assert np.isfinite(emb).all()
     # masked: one row fully silent -> NaN
     masks = np.ones((5, 100), dtype=np.float32)
@@ -188,10 +180,12 @@ def test_diarization_pipeline_spectral_clusterer(small_cfg):
         SpeakerDiarizationPipeline,
     )
 
+    from _cfg import make_tiny1s_pipeline
+
     rng = np.random.default_rng(2)
     audio = (0.1 * rng.normal(size=2 * 16000)).astype(np.float32)
-    pipe = SpeakerDiarizationPipeline(
-        small_cfg, seg_batch=4, emb_batch=6, clusterer="spectral"
-    )
+    # identical static config to the shared tiny1s pipeline -> the compiled
+    # stages are reused; only the host-side clusterer differs
+    pipe = make_tiny1s_pipeline(seed=2, clusterer="spectral")
     ann = pipe(audio)
     assert ann is not None

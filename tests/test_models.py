@@ -346,3 +346,50 @@ def test_pyannet_matches_torch_mirror():
     ours = np.asarray(P.pyannet_forward(params, jnp.asarray(x), cfg))
     assert ours.shape == out_t.shape == (2, P.pyannet_num_frames(num_samples, cfg), cfg.num_classes)
     np.testing.assert_allclose(ours, out_t, rtol=1e-3, atol=1e-4)
+
+
+def test_pyannet_masked_valid_equals_true_length():
+    """The masked-statistics path (valid_samples) on a zero-padded input
+    must reproduce true-length inference on the valid frames — the static-
+    shape equivalent of the reference's short-orphan handling
+    (segment/segment.py:103-108): masked instance norms + reset-at-end
+    backward LSTM."""
+    cfg = P.PyanNetConfig(
+        num_filters=16, conv_channels=12, lstm_hidden=16, lstm_layers=2,
+        linear_hidden=16,
+    )
+    params = P.init_pyannet(jax.random.PRNGKey(5), cfg)
+    window = 8000
+    rng = np.random.default_rng(17)
+    x = (0.1 * rng.normal(size=(3, window))).astype(np.float32)
+    lengths = [window, 5000, 2501]
+    padded = x.copy()
+    for i, L in enumerate(lengths):
+        padded[i, L:] = 0.0
+
+    out_masked = np.asarray(
+        P.pyannet_forward(
+            params, jnp.asarray(padded), cfg,
+            valid_samples=jnp.asarray(lengths, dtype=jnp.int32),
+        )
+    )
+    for i, L in enumerate(lengths):
+        true_out = np.asarray(
+            P.pyannet_forward(params, jnp.asarray(x[i:i+1, :L]), cfg)
+        )
+        nf = P.pyannet_num_frames(L, cfg)
+        assert true_out.shape[1] == nf
+        np.testing.assert_allclose(
+            out_masked[i, :nf], true_out[0], rtol=1e-4, atol=1e-5,
+            err_msg=f"row {i} length {L}",
+        )
+
+
+def test_pyannet_valid_chain_matches_num_frames():
+    cfg = P.PyanNetConfig()
+    import jax.numpy as jnp2
+
+    for L in [80000, 79999, 40000, 8000, 2500, 251, 250, 17, 0]:
+        chain = P.pyannet_valid_chain(jnp2.asarray([L]), cfg)
+        expect = max(P.pyannet_num_frames(L, cfg), 0) if L >= cfg.kernel_size else 0
+        assert int(chain[5][0]) == expect, (L, int(chain[5][0]), expect)

@@ -18,7 +18,6 @@ from pyannote_audio_speaker_diarization_cpp_tpu.parallel.mesh import (
 )
 from pyannote_audio_speaker_diarization_cpp_tpu.parallel.sharding import (
     all_gather_embeddings,
-    shard_batch_step,
 )
 
 
@@ -27,20 +26,6 @@ def mesh():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     return make_mesh(jax.devices()[:8])
-
-
-def test_sharded_step_matches_unsharded(mesh):
-    def fn(params, x):
-        return jnp.tanh(x @ params["w"]) + params["b"]
-
-    params = {
-        "w": jnp.asarray(np.random.default_rng(0).normal(size=(16, 16)).astype(np.float32)),
-        "b": jnp.asarray(np.random.default_rng(1).normal(size=(16,)).astype(np.float32)),
-    }
-    x = jnp.asarray(np.random.default_rng(2).normal(size=(32, 16)).astype(np.float32))
-    plain = jax.jit(fn)(params, x)
-    sharded = jax.jit(shard_batch_step(fn, mesh))(params, x)
-    np.testing.assert_allclose(np.asarray(plain), np.asarray(sharded), rtol=1e-6)
 
 
 def test_all_gather_embeddings(mesh):
@@ -56,17 +41,18 @@ def test_pipeline_mesh_equals_single_device(mesh):
         SpeakerDiarizationPipeline,
     )
 
-    cfg = DiarizationConfig(
-        segmentation=SegmentationConfig(
-            duration=1.0, step=0.5, batch_size=8, num_frames=pyannet_num_frames(16000)
-        )
-    )
+    from _cfg import SMALL_ECAPA, SMALL_PYANNET, TINY1S_CFG
+
     rng = np.random.default_rng(3)
     audio = (0.1 * rng.normal(size=4 * 16000)).astype(np.float32)
 
-    single = SpeakerDiarizationPipeline(cfg, seed=0, seg_batch=8, emb_batch=8)
+    single = SpeakerDiarizationPipeline(
+        TINY1S_CFG, seed=0, seg_batch=8, emb_batch=8,
+        pyannet_cfg=SMALL_PYANNET, ecapa_cfg=SMALL_ECAPA,
+    )
     multi = SpeakerDiarizationPipeline(
-        cfg, seed=0, params=single.params, seg_batch=8, emb_batch=8, mesh=mesh
+        TINY1S_CFG, seed=0, params=single.params, seg_batch=8, emb_batch=8,
+        mesh=mesh, pyannet_cfg=SMALL_PYANNET, ecapa_cfg=SMALL_ECAPA,
     )
     a1 = single(audio)
     a2 = multi(audio)

@@ -145,29 +145,9 @@ def test_to_annotation_gap_filling():
 # ---------------------------------------------------------------------------
 
 
-SMALL_CFG = DiarizationConfig(
-    segmentation=SegmentationConfig(duration=1.0, step=0.5, num_frames=0, batch_size=4),
-)
-
-
 @pytest.fixture(scope="module")
-def small_pipeline():
-    from pyannote_audio_speaker_diarization_cpp_tpu.models.pyannet import (
-        PyanNetConfig,
-        pyannet_num_frames,
-    )
-
-    seg = SegmentationConfig(duration=1.0, step=0.5, batch_size=4)
-    cfg = DiarizationConfig(
-        segmentation=SegmentationConfig(
-            duration=1.0,
-            step=0.5,
-            batch_size=4,
-            num_frames=pyannet_num_frames(16000),
-        ),
-        chunk_bucket=4,
-    )
-    return SpeakerDiarizationPipeline(cfg, seed=0, seg_batch=4, emb_batch=6)
+def small_pipeline(tiny1s_pipeline):
+    return tiny1s_pipeline
 
 
 def test_pipeline_runs_on_synthetic_audio(small_pipeline):
@@ -210,26 +190,24 @@ def test_pipeline_bfloat16_compute_dtype_close_to_f32():
     (abs 0.02, reference README.md:99-101)."""
     import dataclasses as dc
 
-    from pyannote_audio_speaker_diarization_cpp_tpu.models.pyannet import (
-        pyannet_num_frames,
-    )
+    from _cfg import SMALL_ECAPA, SMALL_PYANNET, TINY1S_CFG
+
     from pyannote_audio_speaker_diarization_cpp_tpu.utils.debug_dump import (
         DumpSession,
     )
 
-    cfg32 = DiarizationConfig(
-        segmentation=SegmentationConfig(
-            duration=1.0, step=0.5, batch_size=8, num_frames=pyannet_num_frames(16000)
-        ),
-        chunk_bucket=8,
-    )
+    cfg32 = dc.replace(TINY1S_CFG, compute_dtype="float32")
     cfg16 = dc.replace(cfg32, compute_dtype="bfloat16")
     rng = np.random.default_rng(21)
     audio = (0.1 * rng.normal(size=5 * 16000)).astype(np.float32)
 
-    p32 = SpeakerDiarizationPipeline(cfg32, seed=0, seg_batch=8, emb_batch=8)
+    p32 = SpeakerDiarizationPipeline(
+        cfg32, seed=0, seg_batch=8, emb_batch=8,
+        pyannet_cfg=SMALL_PYANNET, ecapa_cfg=SMALL_ECAPA,
+    )
     p16 = SpeakerDiarizationPipeline(
-        cfg16, seed=0, params=p32.params, seg_batch=8, emb_batch=8
+        cfg16, seed=0, params=p32.params, seg_batch=8, emb_batch=8,
+        pyannet_cfg=SMALL_PYANNET, ecapa_cfg=SMALL_ECAPA,
     )
     import tempfile
 

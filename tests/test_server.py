@@ -8,34 +8,15 @@ import urllib.request
 import numpy as np
 import pytest
 
-from pyannote_audio_speaker_diarization_cpp_tpu.config import (
-    DiarizationConfig,
-    SegmentationConfig,
-)
 from pyannote_audio_speaker_diarization_cpp_tpu.io import wav as wavio
-from pyannote_audio_speaker_diarization_cpp_tpu.models.pyannet import (
-    pyannet_num_frames,
-)
-from pyannote_audio_speaker_diarization_cpp_tpu.pipelines.diarization import (
-    SpeakerDiarizationPipeline,
-)
 from pyannote_audio_speaker_diarization_cpp_tpu.runtime.server import (
     DiarizationService,
     serve,
 )
 
-TINY_CFG = DiarizationConfig(
-    segmentation=SegmentationConfig(
-        duration=1.0, step=0.5, batch_size=8, num_frames=pyannet_num_frames(16000)
-    ),
-    chunk_bucket=8,
-)
-
-
 @pytest.fixture(scope="module")
-def server_url():
-    pipeline = SpeakerDiarizationPipeline(TINY_CFG, seed=0, seg_batch=8, emb_batch=8)
-    service = DiarizationService(pipeline)
+def server_url(tiny1s_pipeline):
+    service = DiarizationService(tiny1s_pipeline)
     server = serve(service, host="127.0.0.1", port=0)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
