@@ -393,3 +393,28 @@ def test_pyannet_valid_chain_matches_num_frames():
         chain = P.pyannet_valid_chain(jnp2.asarray([L]), cfg)
         expect = max(P.pyannet_num_frames(L, cfg), 0) if L >= cfg.kernel_size else 0
         assert int(chain[5][0]) == expect, (L, int(chain[5][0]), expect)
+
+
+def test_bilstm_fused_equals_two_scan_reference():
+    """The single-scan fused BiLSTM layer (both directions stacked on a
+    leading axis) must agree with the two-scan reference formulation,
+    including the valid-length masked path the exact-orphan pipeline uses."""
+    key = jax.random.PRNGKey(7)
+    layers = []
+    in_size, hidden = 10, 12
+    sz = in_size
+    for i in range(3):
+        layers.append(
+            {
+                "fwd": L.init_lstm(jax.random.fold_in(key, 2 * i), sz, hidden),
+                "bwd": L.init_lstm(jax.random.fold_in(key, 2 * i + 1), sz, hidden),
+            }
+        )
+        sz = 2 * hidden
+    x = jnp.asarray(
+        np.random.default_rng(11).normal(size=(4, 17, in_size)).astype(np.float32)
+    )
+    for valid in (None, jnp.asarray([17, 9, 1, 0], np.int32)):
+        fused = np.asarray(L.bilstm_stack(x, layers, valid=valid, fused=True))
+        ref = np.asarray(L.bilstm_stack(x, layers, valid=valid, fused=False))
+        np.testing.assert_allclose(fused, ref, rtol=1e-6, atol=1e-6)
