@@ -20,7 +20,23 @@ import time
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="TPU-native speaker diarization")
     parser.add_argument("wav", help="input audio (RIFF wav)")
-    parser.add_argument("--checkpoint", default=None, help="weights directory (.npz files)")
+    parser.add_argument(
+        "--checkpoint",
+        default=None,
+        help="weights artifact: converted .npz directory, pyannote Lightning "
+        ".ckpt/.bin, speechbrain savedir (embedding_model.ckpt), ONNX blob "
+        "(segment2.onnx/emd4.onnx layout), or a directory holding any mix",
+    )
+    parser.add_argument(
+        "--seg-model",
+        default=None,
+        help="segmentation weights only (.ckpt/.bin/.onnx), overrides --checkpoint",
+    )
+    parser.add_argument(
+        "--emb-model",
+        default=None,
+        help="embedding weights only (.ckpt/.onnx/savedir), overrides --checkpoint",
+    )
     parser.add_argument("--num-speakers", type=int, default=None)
     parser.add_argument("--min-speakers", type=int, default=None)
     parser.add_argument("--max-speakers", type=int, default=None)
@@ -44,9 +60,24 @@ def main(argv=None) -> int:
 
     params = None
     if args.checkpoint:
-        from .models.convert import load_checkpoint
+        from .models.ingest import load_params_auto
 
-        params = load_checkpoint(args.checkpoint)
+        params = load_params_auto(args.checkpoint)
+    if args.seg_model or args.emb_model:
+        from .models.ingest import load_params_auto
+
+        params = dict(params or {})
+        if args.seg_model:
+            params["segmentation"] = load_params_auto(args.seg_model)["segmentation"]
+        if args.emb_model:
+            params["embedding"] = load_params_auto(args.emb_model)["embedding"]
+    if params is not None and (
+        "segmentation" not in params or "embedding" not in params
+    ):
+        # partial artifact: fill the other model with seed-0 weights
+        from .models.convert import random_params
+
+        params = {**random_params(0), **params}
 
     t0 = time.perf_counter()
     pipeline = SpeakerDiarizationPipeline(

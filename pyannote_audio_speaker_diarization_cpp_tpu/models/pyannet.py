@@ -125,7 +125,13 @@ def sinc_filters(p: Dict, cfg: PyanNetConfig) -> jnp.ndarray:
 
     Classic SincNet construction: bandpass = (sin(2pi f_hi n) - sin(2pi f_lo n))
     / (n/2), hamming-windowed, center sample = 2*band, normalized by 2*band.
+
+    A params dict carrying precomputed ``filters`` (e.g. ingested from a
+    constant-folded ONNX export, models/ingest.py pyannet_from_onnx) is
+    returned as-is.
     """
+    if "filters" in p:
+        return p["filters"]
     low = cfg.min_low_hz + jnp.abs(p["low_hz"])
     high = jnp.clip(
         low + cfg.min_band_hz + jnp.abs(p["band_hz"]),
