@@ -88,6 +88,7 @@ def main():
             best_stages = {
                 "seg": round(t.segmentation * 1e3, 1),
                 "emb": round(t.embedding * 1e3, 1),
+                "fetch": round(t.fetch * 1e3, 1),
                 "clu": round(t.clustering * 1e3, 1),
             }
             annotation = annotation_i
@@ -108,8 +109,8 @@ def main():
     print(
         f"# audio={audio_seconds:.1f}s warm={warm:.1f}s run={best:.3f}s "
         f"(seg={best_stages['seg']}ms emb={best_stages['emb']}ms "
-        f"clu={best_stages['clu']}ms) turns={len(annotation.turns())} "
-        f"der_vs_golden={der_vs_golden}",
+        f"fetch={best_stages['fetch']}ms clu={best_stages['clu']}ms) "
+        f"turns={len(annotation.turns())} der_vs_golden={der_vs_golden}",
         file=sys.stderr,
     )
     print(

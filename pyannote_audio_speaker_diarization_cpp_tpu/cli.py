@@ -97,6 +97,7 @@ def main(argv=None) -> int:
     print("-----------", file=sys.stderr)
     print(f"Segmentation time: {t.segmentation*1000:.0f}ms", file=sys.stderr)
     print(f"Embedding time: {t.embedding*1000:.0f}ms", file=sys.stderr)
+    print(f"Fetch time: {t.fetch*1000:.0f}ms", file=sys.stderr)
     print(f"Clustering time: {t.clustering*1000:.0f}ms", file=sys.stderr)
     print(f"Total time: {total*1000:.0f}ms", file=sys.stderr)
 

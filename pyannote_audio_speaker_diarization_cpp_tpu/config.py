@@ -148,6 +148,13 @@ class DiarizationConfig:
     # returned embeddings always stay f32. Set "float32" for
     # bit-conservative runs.
     compute_dtype: str = "bfloat16"
+    # Dtype of the embeddings device->host transfer. The remote-tunnel d2h
+    # path runs ~10 MB/s, so float16 (default) halves the dominant fetch;
+    # f16's 4.9e-4 relative rounding is 40x inside the reference's own
+    # accepted embedding envelope (abs 0.02, README.md:99-101). Host
+    # clustering still runs in float64 either way. Set "float32" for
+    # bit-conservative runs (e.g. differential dumps at source precision).
+    transfer_dtype: str = "float16"
     # Pad the chunk axis up to a multiple of this so jit sees a small set of
     # static shapes across different audio lengths.
     chunk_bucket: int = 32

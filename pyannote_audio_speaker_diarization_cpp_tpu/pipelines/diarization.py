@@ -20,6 +20,7 @@ segment/segment.py:148-245). Differences are architectural, not behavioral:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 import time
 from typing import Dict, Optional, Union
@@ -47,6 +48,41 @@ from . import reconstruct as rec
 
 def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _prefetch(*arrays):
+    """Start async device->host copies. Over the remote-tunnel TPU a
+    synchronous fetch pays ~20-25 ms round-trip latency PLUS ~10 MB/s
+    transfer; issuing the copies right after the stage dispatches lets the
+    transfers ride out while device compute is still running, so the later
+    device_get of the SAME (unsliced) arrays is a host-cache hit."""
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except (AttributeError, NotImplementedError):  # backend without async copy
+            pass
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _post_cluster(segs, membership, start_frames, num_frames):
+    """Device-side post-clustering: per-cluster max over member local
+    speakers (the reference's max_segmentation_cluster,
+    speakerDiarizer.cpp:2766-2787) + skip-average overlap-add
+    (to_diarization's aggregate, :2647-2651) — computed from the RESIDENT
+    stage-1 scores so the full (chunks, frames, speakers) tensor never
+    travels to the host; only the tiny (frames, K) activations do.
+
+    segs: (num_padded, F, S) f32; membership: (num_padded, S, K) bool
+    one-hot of host hard clusters (False rows for padding chunks and
+    inactive/-2 speakers); start_frames/num_frames: the aggregation plan.
+    """
+    masked = jnp.where(membership[:, None, :, :], segs[..., None], -jnp.inf)
+    clustered = jnp.max(masked, axis=2)  # (n, F, K)
+    has = jnp.any(membership, axis=1)[:, None, :]  # (n, 1, K)
+    clustered = jnp.where(has, clustered, jnp.nan)
+    return agg_aggregate(
+        clustered, start_frames, num_frames, missing=0.0, skip_average=True
+    )
 
 
 def load_waveform(
@@ -81,13 +117,30 @@ _STEP_CACHE: Dict = {}
 
 @dataclasses.dataclass
 class StageTimings:
+    """Wall-clock attribution, named for what each window actually measures
+    (the stage dispatches are async, so device work overlaps freely).
+
+    Default (pipeline.profile=False — no extra device syncs):
+    - segmentation: host prep + both async stage dispatches.
+    - embedding: 0 (not separately measured).
+    - fetch: wait for device compute AND the d2h transfer of clustering
+      inputs (one combined sync).
+    - clustering: host clustering + the jitted post-clustering aggregation
+      dispatch (incl. its small fetch) + timeline decode.
+
+    With pipeline.profile=True, segmentation/embedding become the true
+    per-stage device completion waits (costs ~2 extra sync round trips over
+    a remote-tunnel TPU) and fetch is the pure d2h pickup.
+    """
+
     segmentation: float = 0.0
     embedding: float = 0.0
+    fetch: float = 0.0
     clustering: float = 0.0
 
     @property
     def total(self) -> float:
-        return self.segmentation + self.embedding + self.clustering
+        return self.segmentation + self.embedding + self.fetch + self.clustering
 
 
 class SpeakerDiarizationPipeline:
@@ -113,6 +166,7 @@ class SpeakerDiarizationPipeline:
         exact_orphan: bool = True,
         pyannet_cfg: Optional[pyannet_mod.PyanNetConfig] = None,
         ecapa_cfg: Optional[ecapa_mod.EcapaConfig] = None,
+        profile: bool = False,
     ):
         self.config = config
         # model-architecture overrides (converted checkpoints with non-recipe
@@ -171,6 +225,7 @@ class SpeakerDiarizationPipeline:
         # visible to the norms; up to ~0.008 sigmoid deviation on the
         # orphan's frames).
         self.exact_orphan = exact_orphan
+        self.profile = profile
         self.timings = StageTimings()
         self._build_steps()
 
@@ -385,11 +440,14 @@ class SpeakerDiarizationPipeline:
             emb, too_short = jax.lax.map(body, row_idx)
             # allgather the tiny (N, 192) embedding matrix to every device —
             # the only cross-device dependency of the whole recipe (global
-            # clustering; SURVEY.md section 2.3)
-            return (
-                replicate(emb.reshape(-1, emb.shape[-1])),
-                replicate(too_short.reshape(-1)),
+            # clustering; SURVEY.md section 2.3). Embeddings travel to the
+            # host as f16 (transfer_dtype): the d2h tunnel runs ~10 MB/s, and
+            # f16's 4.9e-4 relative rounding sits 40x inside the reference's
+            # own accepted embedding envelope (abs 0.02, README.md:99-101).
+            emb = emb.reshape(-1, emb.shape[-1]).astype(
+                jnp.dtype(cfg.transfer_dtype)
             )
+            return replicate(emb), replicate(too_short.reshape(-1))
 
         # one jitted dispatch per stage — on a mesh the shard_rows/replicate
         # constraints inside make XLA split each batch across chips and
@@ -412,6 +470,19 @@ class SpeakerDiarizationPipeline:
             self.seg_batch, self.emb_batch, max(self.config.chunk_bucket, 1)
         )
         return _ceil_to(num_chunks, bucket)
+
+    def _diarization_plan(self, num_chunks):
+        """Aggregation plan for the post-clustering overlap-add: untrimmed
+        chunk grid onto the model frame grid — identical numbers to the plan
+        the host twin builds inside reconstruct.to_diarization."""
+        seg_cfg = self.config.segmentation
+        chunk_grid = SlidingWindow(0.0, seg_cfg.step, seg_cfg.duration)
+        frame_grid = SlidingWindow(
+            seg_cfg.frame_start, seg_cfg.frame_step, seg_cfg.frame_duration
+        )
+        from ..ops.aggregate import plan_aggregation
+
+        return plan_aggregation(num_chunks, chunk_grid, frame_grid)
 
     def _count_plan(self, num_chunks):
         """Aggregation plan for the speaker-count grid (trace-time host
@@ -494,55 +565,118 @@ class SpeakerDiarizationPipeline:
         # ---------- stage 2: embeddings (dispatched before the stage-1
         # fetches so its device compute overlaps the host transfers) ----------
         emb, too_short = self._stage2(self.params["embedding"], wav_dev, chosen)
+        # async d2h of every (full, unsliced) array the host will need: the
+        # transfers stream back while the devices are still computing
+        _prefetch(count_raw, inactive, emb, too_short)
 
         # the count grid for the real chunk count is a prefix of the padded
         # grid (same start/step; NaN-masked padding contributes nothing)
         real_plan = self._count_plan(num_chunks)
         count_frames = dataclasses.replace(real_plan.frames, num_samples=num_samples)
-        jax.block_until_ready(count_raw)  # stage-1 device work complete
-        self.timings.segmentation = time.perf_counter() - t0
+        if self.profile:
+            # per-stage attribution costs ~2 extra sync round trips over a
+            # remote-tunnel TPU (~25 ms each) — opt-in only
+            jax.block_until_ready(count_raw)  # stage-1 device work complete
+            self.timings.segmentation = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            jax.block_until_ready(emb)  # stage-2 device work complete
+            self.timings.embedding = time.perf_counter() - t0
+        else:
+            self.timings.segmentation = time.perf_counter() - t0
+            self.timings.embedding = 0.0
 
-        # ONE combined device->host fetch: the remote-tunnel TPU pays a full
-        # round trip per transfer, so count/embeddings/scores travel together
-        # (binarized only in dump mode — finalize needs just `inactive`)
+        # fetch ONLY what host clustering needs (embeddings are the bulk:
+        # N x 192 f32). The full segmentations tensor (390 KB for the 59 s
+        # wav — half the old wall clock on the remote-tunnel d2h) stays
+        # resident; _post_cluster reduces it on device after clustering.
+        # In dump mode everything travels and the host twin (finalize) runs
+        # instead, preserving differential-dump provenance.
         t0 = time.perf_counter()
         rows = num_chunks * seg_cfg.num_speakers
-        to_fetch = [
-            count_raw[: real_plan.num_frames],
-            emb[:rows],
-            too_short[:rows],
-            segmentations[:num_chunks],
-            inactive[:num_chunks],
-        ]
+        # fetch the FULL (padded) arrays — they are already streaming via
+        # _prefetch, so this is a cache pickup, not a fresh round trip —
+        # and slice on host
+        to_fetch = [emb, too_short, inactive]
         if dump is not None:
-            to_fetch.append(binarized[:num_chunks])
+            to_fetch += [
+                count_raw,
+                segmentations[:num_chunks],
+                binarized[:num_chunks],
+            ]
         fetched = jax.device_get(tuple(to_fetch))
-        count_h, emb_h, too_short_h, segmentations, inactive_h = fetched[:5]
-        count = np.rint(count_h).astype(np.int64)
+        emb_h = fetched[0][:rows]
+        too_short_h = fetched[1][:rows]
+        inactive_h = fetched[2][:num_chunks]
         embeddings = np.asarray(emb_h, dtype=np.float64)
         embeddings[too_short_h] = np.nan
         embeddings = embeddings.reshape(num_chunks, seg_cfg.num_speakers, -1)
-        self.timings.embedding = time.perf_counter() - t0
+        self.timings.fetch = time.perf_counter() - t0
+
         if dump is not None:
+            count = np.rint(fetched[3][: real_plan.num_frames]).astype(np.int64)
             dump.dump("embeddings", embeddings)
-            dump.dump("segmentations", segmentations)
+            dump.dump("segmentations", fetched[4])
             dump.dump("binarized_segmentations", fetched[5])
             dump.dump("count", count)
+            t0 = time.perf_counter()
+            annotation = self.finalize(
+                fetched[4],
+                fetched[5],
+                embeddings,
+                count,
+                count_frames,
+                chunk_frames,
+                num_speakers=num_speakers,
+                min_speakers=min_speakers,
+                max_speakers=max_speakers,
+                dump=dump,
+                inactive=inactive_h,
+            )
+            self.timings.clustering = time.perf_counter() - t0
+            return annotation
 
-        # ---------- stage 3: clustering + reconstruction ----------
+        # ---------- stage 3: clustering (host) + device post-step ----------
         t0 = time.perf_counter()
-        annotation = self.finalize(
-            segmentations,
-            fetched[5] if dump is not None else None,
+        cfg_c = self.config
+        hard, _soft = self.clusterer(
             embeddings,
-            count,
-            count_frames,
-            chunk_frames,
-            num_speakers=num_speakers,
-            min_speakers=min_speakers,
-            max_speakers=max_speakers,
-            dump=dump,
-            inactive=inactive_h,
+            num_clusters=num_speakers or cfg_c.num_speakers,
+            min_clusters=min_speakers or cfg_c.min_speakers,
+            max_clusters=max_speakers or cfg_c.max_speakers,
+        )
+        hard = np.asarray(hard)
+        hard[inactive_h] = -2  # speakerDiarizer.cpp:3166-3191
+        num_clusters = max(int(hard.max()) + 1, 1)
+        # pad K to a small lattice so jit sees few distinct shapes
+        k_pad = _ceil_to(num_clusters, 4)
+        membership = np.zeros(
+            (num_padded, seg_cfg.num_speakers, k_pad), dtype=bool
+        )
+        ci, si = np.nonzero(hard >= 0)
+        membership[ci, si, hard[ci, si]] = True
+
+        dia_plan = self._diarization_plan(num_padded)
+        activations_dev = _post_cluster(
+            segmentations,
+            jnp.asarray(membership),
+            jnp.asarray(dia_plan.start_frames),
+            dia_plan.num_frames,
+        )
+        _prefetch(activations_dev)
+        real_dia_plan = self._diarization_plan(num_chunks)
+        activations, count_h = jax.device_get((activations_dev, count_raw))
+        activations = activations[: real_dia_plan.num_frames, :num_clusters]
+        count = np.rint(count_h[: real_plan.num_frames]).astype(np.int64)
+        binary, binary_frames = rec.binarize_by_count(
+            activations, real_dia_plan.frames, count, count_frames
+        )
+        annotation = rec.to_annotation(
+            binary,
+            binary_frames,
+            onset=cfg_c.clustering.binarize_onset,
+            offset=cfg_c.clustering.binarize_offset,
+            min_duration_on=seg_cfg.min_duration_on,
+            min_duration_off=seg_cfg.min_duration_off,
         )
         self.timings.clustering = time.perf_counter() - t0
         return annotation

@@ -147,7 +147,21 @@ def to_diarization(
         dump.dump("aggregated_mask", (overlap > 0).astype(np.float32))
         dump.dump("overlapping_chunk_count", overlap)
         dump.dump("to_diarization_activations", activations)
-    activations_frames = plan.frames
+    return binarize_by_count(activations, plan.frames, count, count_frames, dump=dump)
+
+
+def binarize_by_count(
+    activations: np.ndarray,
+    activations_frames: SlidingWindow,
+    count: np.ndarray,
+    count_frames: SlidingWindow,
+    dump=None,
+) -> Tuple[np.ndarray, SlidingWindow]:
+    """Aggregated per-cluster activations + per-frame count -> binary
+    (frames, K) matrix: crop to the activations∩count extent, keep the
+    top-count clusters per frame (speakerDiarizer.cpp:2700-2764). Split out
+    of to_diarization so device-side aggregation (the pipeline's
+    post-clustering dispatch) can reuse the identical decode."""
     num_speakers = activations.shape[1]
     count = np.minimum(count, num_speakers)
 

