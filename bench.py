@@ -59,6 +59,47 @@ def load_audio():
     return x.astype(np.float32), sr
 
 
+def _trace_device_ms(pipeline, waveform):
+    """Run once under jax.profiler and sum TPU-device time per dispatch."""
+    import glob
+    import gzip
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="benchtrace")
+    try:
+        import jax
+
+        jax.profiler.start_trace(tmp)
+        pipeline(waveform)
+        jax.profiler.stop_trace()
+        traces = sorted(glob.glob(os.path.join(tmp, "plugins/profile/*/*.trace.json.gz")))
+        if not traces:
+            return {}
+        with gzip.open(traces[-1]) as f:
+            tr = json.load(f)
+        events = tr["traceEvents"]
+        pids = {
+            e["pid"]: e["args"].get("name", "")
+            for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"
+        }
+        totals = {"seg": 0.0, "emb": 0.0, "post": 0.0}
+        for e in events:
+            if e.get("ph") != "X" or not pids.get(e["pid"], "").startswith("/device:TPU"):
+                continue
+            name = e["name"]
+            if name.startswith("jit_stage1"):
+                totals["seg"] += e["dur"]
+            elif name.startswith("jit_stage2"):
+                totals["emb"] += e["dur"]
+            elif name.startswith("jit__post_cluster"):
+                totals["post"] += e["dur"]
+        return {k: round(v / 1e3, 2) for k, v in totals.items()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
     from pyannote_audio_speaker_diarization_cpp_tpu.pipelines.diarization import (
         SpeakerDiarizationPipeline,
@@ -93,6 +134,45 @@ def main():
             }
             annotation = annotation_i
 
+    # ---- device-time / MFU profile (VERDICT r2 item 2) ----
+    # one traced run gives true per-dispatch device compute; MFU comes from
+    # analytic flop counts (utils/flops.py; XLA cost_analysis under-counts
+    # fused convs on this backend). One profiled run splits the pure d2h
+    # pickup from compute waits.
+    device_ms, mfu = {}, {}
+    transfer_ms = None
+    try:
+        device_ms = _trace_device_ms(pipeline, waveform)
+        from pyannote_audio_speaker_diarization_cpp_tpu.models.pyannet import (
+            pyannet_num_frames,
+        )
+        from pyannote_audio_speaker_diarization_cpp_tpu.ops import windows as win
+        from pyannote_audio_speaker_diarization_cpp_tpu.utils import flops as fl
+
+        seg_cfg = pipeline.config.segmentation
+        num_chunks = win.chunk_count(
+            len(waveform), seg_cfg.window_size, seg_cfg.step_size
+        )
+        num_padded = pipeline.chunk_lattice(num_chunks)
+        peak = 197e12  # TPU v5e bf16 peak (matmul-measured 191 TF/s on this chip)
+        if device_ms.get("seg"):
+            f = num_padded * fl.pyannet_flops(seg_cfg.window_size, pipeline.pyannet_cfg)
+            mfu["seg"] = round(f / (device_ms["seg"] / 1e3) / peak, 4)
+        if device_ms.get("emb"):
+            frames = 1 + seg_cfg.window_size // pipeline.config.frontend.hop_length
+            f = (
+                num_padded
+                * seg_cfg.num_speakers
+                * fl.ecapa_flops(frames, pipeline.ecapa_cfg)
+            )
+            mfu["emb"] = round(f / (device_ms["emb"] / 1e3) / peak, 4)
+        pipeline.profile = True
+        pipeline(waveform)
+        transfer_ms = round(pipeline.timings.fetch * 1e3, 1)
+        pipeline.profile = False
+    except Exception as e:  # profiling must never fail the bench
+        print(f"# profile section skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
     der_vs_golden = None
     if os.path.exists(GOLDEN_RTTM):
         from pyannote_audio_speaker_diarization_cpp_tpu.core.annotation import (
@@ -122,6 +202,9 @@ def main():
                 "vs_baseline": round(value / baseline, 1),
                 "der_vs_golden": der_vs_golden,
                 "stages_ms": best_stages,
+                "device_ms": device_ms,
+                "transfer_ms": transfer_ms,
+                "mfu": mfu,
             }
         )
     )

@@ -189,3 +189,17 @@ def test_diarization_pipeline_spectral_clusterer(small_cfg):
     pipe = make_tiny1s_pipeline(seed=2, clusterer="spectral")
     ann = pipe(audio)
     assert ann is not None
+
+
+def test_analytic_flops_sane():
+    """utils/flops.py: analytic counts scale with work and are the right
+    order of magnitude for the published model sizes."""
+    from pyannote_audio_speaker_diarization_cpp_tpu.utils import flops as fl
+
+    f1 = fl.pyannet_flops(80000)
+    assert 0.5e9 < f1 < 5e9  # ~1.3 GFLOP per 5 s chunk
+    assert fl.pyannet_flops(40000) < f1
+
+    f2 = fl.ecapa_flops(501)
+    assert 5e9 < f2 < 50e9  # ~18 GFLOP per masked 5 s row
+    assert abs(fl.ecapa_flops(1002) / f2 - 2.0) < 0.1  # ~linear in frames
