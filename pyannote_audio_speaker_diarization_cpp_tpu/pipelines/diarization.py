@@ -251,7 +251,7 @@ class SpeakerDiarizationPipeline:
         except TypeError:  # unhashable config (e.g. list-valued channels)
             cached = None
         if cached is not None:
-            self._stage1, self._stage2, self._post = cached
+            self._stage1, self._stage2, self._stage2_debug, self._post = cached
             return
         cfg = self.config
         seg_cfg = cfg.segmentation
@@ -321,7 +321,7 @@ class SpeakerDiarizationPipeline:
             jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
         )
 
-        def emb_step(params, chunks, masks):
+        def emb_step(params, chunks, masks, with_internals=False):
             signals, wav_lens, too_short = mk.pack_and_lengths(
                 chunks,
                 masks,
@@ -340,6 +340,8 @@ class SpeakerDiarizationPipeline:
             emb = ecapa_mod.ecapa_forward(
                 params, feats, wav_lens, self.ecapa_cfg, precision=precision
             )
+            if with_internals:
+                return emb.astype(jnp.float32), too_short, signals, wav_lens
             return emb.astype(jnp.float32), too_short
 
         def post_process(segs, valid_frames):
@@ -449,16 +451,48 @@ class SpeakerDiarizationPipeline:
             )
             return replicate(emb), replicate(too_short.reshape(-1))
 
+        def stage2_debug(params, wav_padded, chosen):
+            """stage2 plus its internals (packed signals, normalized
+            wav_lens) from the SAME ops/backends the production dispatch
+            runs — the provenance source for the differential dumps
+            (reference dumps what production computed,
+            speakerDiarizer.cpp:2443; compiled only when used)."""
+            if emb_dtype is not None:
+                params = jax.tree.map(lambda a: a.astype(emb_dtype), params)
+            num_chunks = chosen.shape[0]
+            chunks = device_chunks(wav_padded, num_chunks)
+            rows = chosen.reshape(num_chunks * seg_cfg.num_speakers, -1)
+            nb = rows.shape[0] // self.emb_batch
+            row_idx = jnp.arange(rows.shape[0]).reshape(nb, self.emb_batch)
+
+            def body(idx):
+                return emb_step(
+                    params,
+                    chunks[idx // seg_cfg.num_speakers],
+                    rows[idx],
+                    with_internals=True,
+                )
+
+            emb, too_short, signals, wav_lens = jax.lax.map(body, row_idx)
+            return (
+                emb.reshape(-1, emb.shape[-1]),
+                too_short.reshape(-1),
+                signals.reshape(-1, signals.shape[-1]),
+                wav_lens.reshape(-1),
+            )
+
         # one jitted dispatch per stage — on a mesh the shard_rows/replicate
         # constraints inside make XLA split each batch across chips and
         # allgather the stage outputs (device-major DP, no host loop)
         self._stage1 = jax.jit(stage1)
         self._stage2 = jax.jit(stage2)
+        self._stage2_debug = jax.jit(stage2_debug)
         self._post = jax.jit(post_process)
         if cache_key is not None:
             _STEP_CACHE[cache_key] = (
                 self._stage1,
                 self._stage2,
+                self._stage2_debug,
                 self._post,
             )
 
@@ -738,6 +772,47 @@ class SpeakerDiarizationPipeline:
         embeddings = np.asarray(emb, dtype=np.float64)
         embeddings[np.asarray(too_short)] = np.nan
         return segs, binarized, embeddings.reshape(num_chunks, seg_cfg.num_speakers, -1)
+
+    def stage2_internals(
+        self,
+        waveform: np.ndarray,
+        num_chunks: int,
+        orphan_frames: Optional[int] = None,
+        orphan_samples: Optional[int] = None,
+    ):
+        """Run the jitted DEBUG variant of stage 2 and fetch its internals:
+        (signals, wav_lens) for the real rows — the packed speech samples
+        and normalized lengths exactly as the production ops computed them
+        (same pack backend, same fused frontend feed, same orphan handling
+        as run_chunks). Used by the differential-dump harness to pin
+        production stage-2 provenance (reference: the C++ dumps what
+        production computed, speakerDiarizer.cpp:2443)."""
+        seg_cfg = self.config.segmentation
+        num_padded = self.chunk_lattice(num_chunks)
+        needed = (num_padded - 1) * seg_cfg.step_size + seg_cfg.window_size
+        wav_padded = np.zeros(needed, dtype=np.float32)
+        wav_padded[: waveform.shape[0]] = waveform
+        valid_frames = np.zeros(num_padded, dtype=np.int32)
+        valid_frames[:num_chunks] = seg_cfg.num_frames
+        valid_samples = np.zeros(num_padded, dtype=np.int32)
+        valid_samples[:num_chunks] = seg_cfg.window_size
+        if orphan_frames is not None:
+            valid_frames[num_chunks - 1] = orphan_frames
+        if orphan_samples is not None and orphan_samples < seg_cfg.window_size:
+            valid_samples[num_chunks - 1] = orphan_samples
+        wav_dev = jnp.asarray(wav_padded)
+        _, _, chosen, _, _ = self._stage1(
+            self.params["segmentation"],
+            wav_dev,
+            jnp.asarray(valid_frames),
+            jnp.asarray(valid_samples),
+        )
+        _, _, signals, wav_lens = self._stage2_debug(
+            self.params["embedding"], wav_dev, chosen
+        )
+        rows = num_chunks * seg_cfg.num_speakers
+        signals, wav_lens = jax.device_get((signals[:rows], wav_lens[:rows]))
+        return signals, wav_lens
 
     def finalize(
         self,

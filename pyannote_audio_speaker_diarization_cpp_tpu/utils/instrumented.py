@@ -178,12 +178,34 @@ def run_with_dumps(
     )
     dump.dump("imasks", imasks)
     signals = np.asarray(mk.left_pack(chunk_rows, imasks.astype(np.float32)))
-    dump.dump("signals", signals)
     lens = imasks.sum(axis=-1)
-    dump.dump("wav_lens", lens)
     too_short = lens < cfg.embedding.min_num_samples
     final_wav_lens = np.where(too_short, 1.0, lens / window)
-    dump.dump("final_wav_lens", final_wav_lens)
+
+    # ---------- production stage-2 provenance ----------
+    # fetch signals/wav_lens from the jitted DEBUG stage-2 (same pack
+    # backend/ops as the production dispatch) and cross-check the eager
+    # transcription against it, like binarize above — then dump the
+    # PRODUCTION tensors (reference dumps what production computed,
+    # speakerDiarizer.cpp:2443; verifyEveryStepResult.py:161-178)
+    prod_signals, prod_wav_lens = pipeline.stage2_internals(
+        waveform, num_chunks, orphan_frames, orphan_samples
+    )
+    np.testing.assert_array_equal(
+        prod_signals,
+        signals.astype(prod_signals.dtype),
+        err_msg="eager left-pack diverged from the jitted stage-2 pack",
+    )
+    np.testing.assert_allclose(
+        prod_wav_lens,
+        final_wav_lens.astype(prod_wav_lens.dtype),
+        rtol=1e-6,
+        atol=0,
+        err_msg="eager wav_lens diverged from the jitted stage-2 lengths",
+    )
+    dump.dump("signals", prod_signals)
+    dump.dump("wav_lens", lens)
+    dump.dump("final_wav_lens", prod_wav_lens)
 
     # ---------- stage 3 (dump hooks inside finalize) ----------
     return pipeline.finalize(

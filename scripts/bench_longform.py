@@ -1,0 +1,107 @@
+"""Hour-scale long-form bench (VERDICT r2 item 6).
+
+Measures, on the real chip:
+  1. LongFormDiarizer bounded-memory mode on >= 1 h of 16 kHz audio
+     (the reference wav tiled): wall time, audio-s/s, shard count, and the
+     device-memory bound (one shard's windows at a time vs the whole hour).
+  2. The native (OpenMP C++) AHC at N in {2k, 10k, 20k} embeddings vs the
+     numpy and scipy backends.
+
+Usage: python scripts/bench_longform.py [hours] [num_shards]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyannote_audio_speaker_diarization_cpp_tpu.io import wav as wavio
+from pyannote_audio_speaker_diarization_cpp_tpu.parallel.longform import (
+    LongFormDiarizer,
+    plan_shards,
+)
+from pyannote_audio_speaker_diarization_cpp_tpu.pipelines.diarization import (
+    SpeakerDiarizationPipeline,
+)
+
+REFERENCE_WAV = "/root/reference/pipeline/data/multi-speaker_1min.wav"
+
+
+def bench_longform(hours: float, num_shards: int):
+    data = wavio.read_wav(REFERENCE_WAV)
+    base = (data.samples.mean(axis=0) / 32768.0).astype(np.float32)
+    reps = int(np.ceil(hours * 3600 * 16000 / len(base)))
+    waveform = np.tile(base, reps)
+    audio_s = len(waveform) / 16000
+    seg_cfg_window = 80000
+
+    pipeline = SpeakerDiarizationPipeline(seg_batch=32, emb_batch=32)
+    diarizer = LongFormDiarizer(pipeline, num_shards=num_shards)
+
+    shards = plan_shards(
+        int((len(waveform) - seg_cfg_window) // 8000) + 2, num_shards, 80000, 8000
+    )
+    max_shard_chunks = max(s.num_chunks for s in shards)
+    windows_gb_full = (len(waveform) // 8000) * seg_cfg_window * 4 / 1e9
+    windows_gb_shard = max_shard_chunks * seg_cfg_window * 4 / 1e9
+
+    # warm (compile at shard shapes) on a short slice
+    diarizer_warm = LongFormDiarizer(pipeline, num_shards=num_shards)
+    diarizer_warm(waveform[: 16000 * 120])
+
+    t0 = time.perf_counter()
+    ann = diarizer(waveform)
+    wall = time.perf_counter() - t0
+    print(
+        f"long-form: {audio_s/3600:.2f} h in {wall:.1f} s = "
+        f"{audio_s/wall:.1f} audio-s/s sustained | shards={num_shards} "
+        f"(largest {max_shard_chunks} chunks) | window memory: "
+        f"{windows_gb_shard:.2f} GB/shard vs {windows_gb_full:.2f} GB unsharded "
+        f"| turns={len(ann.turns())}",
+        flush=True,
+    )
+    return audio_s / wall
+
+
+def bench_native_ahc():
+    from pyannote_audio_speaker_diarization_cpp_tpu.clustering import ahc
+
+    rng = np.random.default_rng(0)
+    print("\nAHC backends (centroid linkage, L2-normalized 192-d):")
+    for n in (2000, 10000, 20000):
+        x = rng.normal(size=(n, 192))
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        rows = []
+        for backend in ("native", "scipy", "numpy"):
+            if backend == "numpy" and n > 2000:
+                rows.append((backend, None))  # numpy is O(N^3)-ish: skip big N
+                continue
+            try:
+                t0 = time.perf_counter()
+                ahc.linkage(x, method="centroid", backend=backend)
+                rows.append((backend, time.perf_counter() - t0))
+            except Exception as e:
+                rows.append((backend, f"fail: {e}"))
+        msg = " | ".join(
+            f"{b}: {t:.2f}s" if isinstance(t, float) else f"{b}: {t or 'skipped'}"
+            for b, t in rows
+        )
+        print(f"  N={n:6d}: {msg}", flush=True)
+
+
+if __name__ == "__main__":
+    hours = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    shards = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    bench_longform(hours, shards)
+    bench_native_ahc()

@@ -128,3 +128,34 @@ def test_text_roundtrip_matches_reference_format(dump_session, tmp_path):
         parsed = dd.parse_tensor(text)
         flat = np.asarray(dump.tensors[name], dtype=np.float64).reshape(parsed.shape)
         np.testing.assert_allclose(parsed, flat, rtol=1e-12, atol=0, equal_nan=True)
+
+
+def test_pallas_pack_backend_matches_golden_signals(dump_session):
+    """The TPU-default pallas pack kernel (run in interpreter mode here, on
+    CPU) reproduces the golden ``signals``/``wav_lens`` exactly — so the
+    goldens pin the backend the real chip runs, not just the jnp path
+    (VERDICT r2 item 7)."""
+    from pyannote_audio_speaker_diarization_cpp_tpu.ops.pack_pallas import (
+        pack_frames_pallas,
+    )
+
+    dump, _ = dump_session
+    masks = np.asarray(dump.tensors["masks"], dtype=np.float32)
+    golden_signals = np.asarray(dump.tensors["signals"], dtype=np.float32)
+    golden_lens = np.asarray(dump.tensors["wav_lens"], dtype=np.int64)
+
+    # rebuild the chunk rows the pipeline packed (deterministic synth wav)
+    wav = synth_wav()
+    window, step = 80000, 8000
+    c = masks.shape[0] // 3
+    padded = np.zeros((c - 1) * step + window, np.float32)
+    padded[: len(wav)] = wav
+    chunk_rows = np.repeat(
+        np.stack([padded[s * step : s * step + window] for s in range(c)]), 3, axis=0
+    )
+
+    packed, lens = pack_frames_pallas(
+        chunk_rows, (masks > 0.5).astype(np.float32), window, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(packed), golden_signals)
+    np.testing.assert_array_equal(np.asarray(lens, dtype=np.int64), golden_lens)
