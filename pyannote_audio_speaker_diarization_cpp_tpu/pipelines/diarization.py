@@ -50,17 +50,31 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _prefetch(*arrays):
-    """Start async device->host copies. Over the remote-tunnel TPU a
-    synchronous fetch pays ~20-25 ms round-trip latency PLUS ~10 MB/s
-    transfer; issuing the copies right after the stage dispatches lets the
-    transfers ride out while device compute is still running, so the later
-    device_get of the SAME (unsliced) arrays is a host-cache hit."""
-    for a in arrays:
-        try:
-            a.copy_to_host_async()
-        except (AttributeError, NotImplementedError):  # backend without async copy
-            pass
+# NOTE on async d2h: copy_to_host_async was measured to gain nothing on the
+# remote-tunnel backend (the combined device_get already pipelines) and to
+# WEDGE multi-second dispatches outright at long-form shard sizes, so the
+# pipeline deliberately uses one synchronous combined device_get per sync
+# point instead of async prefetch.
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _count_parts(binarized, valid_frames, start_frames, num_frames, left, right):
+    """Numerator/denominator of the speaker-count overlap-add for a chunk
+    range: sum of trimmed per-frame speaker counts and the overlap counts,
+    on the given (globally consistent) frame grid. Both are LINEAR in the
+    chunks, so a sharded long-form run stitches per-shard parts by addition
+    and divides once on host — bit-compatible with the single-shot
+    aggregate (reference speaker_count, speakerDiarizer.cpp:1665-1738).
+    Padding/invalid chunks (valid_frames == 0) contribute nothing."""
+    F = binarized.shape[1]
+    trimmed = binarized[:, left : F - right, :]
+    summed = jnp.sum(trimmed, axis=-1, keepdims=True)
+    ok = (valid_frames > 0)[:, None, None]
+    vals = jnp.where(ok, summed, jnp.nan)
+    num = agg_aggregate(vals, start_frames, num_frames, missing=0.0, skip_average=True)
+    ones = jnp.where(ok, jnp.ones_like(summed), jnp.nan)
+    den = agg_aggregate(ones, start_frames, num_frames, missing=0.0, skip_average=True)
+    return num[:, 0], den[:, 0]
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
@@ -599,9 +613,6 @@ class SpeakerDiarizationPipeline:
         # ---------- stage 2: embeddings (dispatched before the stage-1
         # fetches so its device compute overlaps the host transfers) ----------
         emb, too_short = self._stage2(self.params["embedding"], wav_dev, chosen)
-        # async d2h of every (full, unsliced) array the host will need: the
-        # transfers stream back while the devices are still computing
-        _prefetch(count_raw, inactive, emb, too_short)
 
         # the count grid for the real chunk count is a prefix of the padded
         # grid (same start/step; NaN-masked padding contributes nothing)
@@ -627,9 +638,9 @@ class SpeakerDiarizationPipeline:
         # instead, preserving differential-dump provenance.
         t0 = time.perf_counter()
         rows = num_chunks * seg_cfg.num_speakers
-        # fetch the FULL (padded) arrays — they are already streaming via
-        # _prefetch, so this is a cache pickup, not a fresh round trip —
-        # and slice on host
+        # fetch the FULL (padded) arrays in ONE combined device_get (one
+        # tunnel round trip) and slice on host — a device-side slice would
+        # be a fresh dispatch+fetch
         to_fetch = [emb, too_short, inactive]
         if dump is not None:
             to_fetch += [
@@ -696,7 +707,6 @@ class SpeakerDiarizationPipeline:
             jnp.asarray(dia_plan.start_frames),
             dia_plan.num_frames,
         )
-        _prefetch(activations_dev)
         real_dia_plan = self._diarization_plan(num_chunks)
         activations, count_h = jax.device_get((activations_dev, count_raw))
         activations = activations[: real_dia_plan.num_frames, :num_clusters]
@@ -773,6 +783,49 @@ class SpeakerDiarizationPipeline:
         embeddings[np.asarray(too_short)] = np.nan
         return segs, binarized, embeddings.reshape(num_chunks, seg_cfg.num_speakers, -1)
 
+    def run_chunks_device(
+        self,
+        waveform_slice: np.ndarray,
+        num_chunks: int,
+        orphan_frames: Optional[int] = None,
+        orphan_samples: Optional[int] = None,
+    ):
+        """Like run_chunks, but the bulky per-chunk score tensors STAY ON
+        DEVICE; only embeddings (f16) + flags travel to the host. Returns
+        (segs_dev (padded, F, S), binarized_dev (padded, F, S),
+        valid_frames (padded,) np, embeddings (n, S, D) f64 host with NaN
+        rows, inactive (n, S) bool host). Built for the bounded-memory
+        long-form path (parallel/longform.py): d2h per shard is ~1 MB
+        instead of ~7 MB, which matters at 10 MB/s tunnel bandwidth."""
+        seg_cfg = self.config.segmentation
+        num_padded = self.chunk_lattice(num_chunks)
+        needed = (num_padded - 1) * seg_cfg.step_size + seg_cfg.window_size
+        wav_padded = np.zeros(needed, dtype=np.float32)
+        wav_padded[: waveform_slice.shape[0]] = waveform_slice
+        valid_frames = np.zeros(num_padded, dtype=np.int32)
+        valid_frames[:num_chunks] = seg_cfg.num_frames
+        valid_samples = np.zeros(num_padded, dtype=np.int32)
+        valid_samples[:num_chunks] = seg_cfg.window_size
+        if orphan_frames is not None:
+            valid_frames[num_chunks - 1] = orphan_frames
+        if orphan_samples is not None and orphan_samples < seg_cfg.window_size:
+            valid_samples[num_chunks - 1] = orphan_samples
+        wav_dev = jnp.asarray(wav_padded)
+
+        segs, binarized, chosen, _, inactive = self._stage1(
+            self.params["segmentation"],
+            wav_dev,
+            jnp.asarray(valid_frames),
+            jnp.asarray(valid_samples),
+        )
+        emb, too_short = self._stage2(self.params["embedding"], wav_dev, chosen)
+        emb_h, too_short_h, inactive_h = jax.device_get((emb, too_short, inactive))
+        rows = num_chunks * seg_cfg.num_speakers
+        embeddings = np.asarray(emb_h[:rows], dtype=np.float64)
+        embeddings[too_short_h[:rows]] = np.nan
+        embeddings = embeddings.reshape(num_chunks, seg_cfg.num_speakers, -1)
+        return segs, binarized, valid_frames, embeddings, inactive_h[:num_chunks]
+
     def stage2_internals(
         self,
         waveform: np.ndarray,
@@ -827,6 +880,7 @@ class SpeakerDiarizationPipeline:
         max_speakers: Optional[int] = None,
         dump=None,
         inactive: Optional[np.ndarray] = None,
+        clusterer=None,
     ) -> Annotation:
         """Stage 3 on host tensors: cluster embeddings, reconstruct the
         global timeline, decode turns. Shared by the standard path and the
@@ -834,13 +888,17 @@ class SpeakerDiarizationPipeline:
         allgathered per-host outputs here. ``inactive`` (chunks, speakers)
         bool marks locally-silent speakers; derived from ``binarized`` when
         not supplied (callers fetching from device pass it precomputed so
-        the full binarized tensor never travels)."""
+        the full binarized tensor never travels). ``clusterer`` overrides
+        self.clusterer for one call (the streaming pipeline's incremental
+        centroid-assignment emissions, pipelines/streaming.py)."""
         cfg = self.config
         seg_cfg = cfg.segmentation
+        if clusterer is None:
+            clusterer = self.clusterer
         cluster_kwargs = {}
-        if dump is not None and isinstance(self.clusterer, AgglomerativeClustering):
+        if dump is not None and isinstance(clusterer, AgglomerativeClustering):
             cluster_kwargs["dump"] = dump
-        hard, soft = self.clusterer(
+        hard, soft = clusterer(
             embeddings,
             num_clusters=num_speakers or cfg.num_speakers,
             min_clusters=min_speakers or cfg.min_speakers,

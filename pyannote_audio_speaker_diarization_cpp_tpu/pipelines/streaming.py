@@ -26,7 +26,8 @@ samples — an hour-long stream never holds the waveform.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+import time
+from typing import List, Optional
 
 import numpy as np
 
@@ -35,6 +36,32 @@ from ..core.sliding_window import SlidingWindow
 from ..models import pyannet as pyannet_mod
 from . import reconstruct as rec
 from .diarization import SpeakerDiarizationPipeline
+
+
+class _PrecomputedClusters:
+    """Clusterer stand-in carrying an already-computed assignment (the
+    incremental streaming path assigns new embeddings to stored centroids
+    instead of re-running AHC on every emission)."""
+
+    def __init__(self, hard: np.ndarray, soft: np.ndarray):
+        self._hard, self._soft = hard, soft
+
+    def __call__(self, embeddings, **kwargs):
+        return self._hard, self._soft
+
+
+def _assign_to_centroids(embeddings: np.ndarray, centroids: np.ndarray):
+    """pyannote's centroid assignment (soft = 2 - cosine distance, hard =
+    argmax; clustering/base.py assign_embeddings / reference
+    Clustering.py:97-164) against FIXED centroids."""
+    from ..clustering.base import cosine_cdist
+
+    c, s, d = embeddings.shape
+    with np.errstate(invalid="ignore", divide="ignore"):
+        e2k = cosine_cdist(embeddings.reshape(-1, d), centroids).reshape(c, s, -1)
+    soft = 2.0 - e2k
+    hard = np.argmax(np.nan_to_num(soft, nan=-np.inf), axis=2)
+    return hard, soft
 
 
 class StreamingDiarizer:
@@ -56,9 +83,16 @@ class StreamingDiarizer:
         num_speakers: Optional[int] = None,
         min_speakers: Optional[int] = None,
         max_speakers: Optional[int] = None,
+        recluster_every: int = 4,
     ):
         self.pipeline = pipeline
         self.emit_every = max(1, emit_every)
+        # Full AHC runs on every `recluster_every`-th emission (and always at
+        # flush, keeping flush == offline exact); in between, new embeddings
+        # are assigned to the stored centroids — pyannote's own assign path
+        # (clustering/base.py assign_embeddings) — so per-emit cost is
+        # O(N*K) instead of O(N^2) AHC. recluster_every=1 reclusters always.
+        self.recluster_every = max(1, recluster_every)
         self._speaker_bounds = (num_speakers, min_speakers, max_speakers)
         seg = pipeline.config.segmentation
         self._window = seg.window_size
@@ -73,6 +107,10 @@ class StreamingDiarizer:
         self._binarized: list = []
         self._embeddings: list = []
         self._flushed = False
+        self._emit_count = 0
+        self._centroids: Optional[np.ndarray] = None
+        #: wall-clock seconds of each feed() that produced an emission
+        self.feed_latencies: List[float] = []
 
     # ------------------------------------------------------------------
 
@@ -107,7 +145,7 @@ class StreamingDiarizer:
             self._buffer = self._buffer[keep_from - self._offset :]
             self._offset = keep_from
 
-    def _emit(self, num_samples: int) -> Annotation:
+    def _emit(self, num_samples: int, force_full: bool = False) -> Annotation:
         if not self._segs:
             return Annotation()
         p = self.pipeline
@@ -126,9 +164,38 @@ class StreamingDiarizer:
         )
         count_frames = dataclasses.replace(count_frames, num_samples=num_samples)
         ns, mins, maxs = self._speaker_bounds
+
+        full = (
+            force_full
+            or self._centroids is None
+            or self._emit_count % self.recluster_every == 0
+        )
+        self._emit_count += 1
+        if full:
+            hard, soft = p.clusterer(
+                embs,
+                num_clusters=ns or p.config.num_speakers,
+                min_clusters=mins or p.config.min_speakers,
+                max_clusters=maxs or p.config.max_speakers,
+            )
+            hard = np.asarray(hard)
+            # store centroids for the incremental emissions that follow
+            flat = embs.reshape(-1, embs.shape[-1])
+            hf = hard.reshape(-1)
+            valid = ~np.isnan(flat).any(axis=1)
+            k_count = max(int(hard.max()) + 1, 1)
+            cents = np.zeros((k_count, flat.shape[-1]), np.float64)
+            for k in range(k_count):
+                members = valid & (hf == k)
+                if members.any():
+                    cents[k] = flat[members].mean(axis=0)
+            self._centroids = cents
+        else:
+            hard, soft = _assign_to_centroids(embs, self._centroids)
         return p.finalize(
             segs, binz, embs, count, count_frames, chunk_frames,
             num_speakers=ns, min_speakers=mins, max_speakers=maxs,
+            clusterer=_PrecomputedClusters(hard, soft),
         )
 
     # ------------------------------------------------------------------
@@ -139,6 +206,7 @@ class StreamingDiarizer:
         else None."""
         if self._flushed:
             raise RuntimeError("stream already flushed; call reset()")
+        t0 = time.perf_counter()
         samples = np.asarray(samples, dtype=np.float32).reshape(-1)
         self._buffer = np.concatenate([self._buffer, samples])
         complete = self._complete_chunks()
@@ -146,7 +214,9 @@ class StreamingDiarizer:
             return None
         self._process_range(self._done_chunks, complete)
         covered = (self._done_chunks - 1) * self._step + self._window
-        return self._emit(min(self.total_samples, covered))
+        annotation = self._emit(min(self.total_samples, covered))
+        self.feed_latencies.append(time.perf_counter() - t0)
+        return annotation
 
     def flush(self) -> Annotation:
         """Process the tail (including the short orphan chunk, zero-padded
@@ -175,4 +245,5 @@ class StreamingDiarizer:
             self._process_range(
                 self._done_chunks, num_chunks, orphan_frames, orphan_samples
             )
-        return self._emit(num_samples)
+        # always a FULL recluster: flush == offline pipeline, exactly
+        return self._emit(num_samples, force_full=True)

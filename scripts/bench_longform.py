@@ -49,16 +49,24 @@ def bench_longform(hours: float, num_shards: int):
     pipeline = SpeakerDiarizationPipeline(seg_batch=32, emb_batch=32)
     diarizer = LongFormDiarizer(pipeline, num_shards=num_shards)
 
-    shards = plan_shards(
-        int((len(waveform) - seg_cfg_window) // 8000) + 2, num_shards, 80000, 8000
-    )
+    from pyannote_audio_speaker_diarization_cpp_tpu.ops import windows as win
+
+    num_chunks = win.chunk_count(len(waveform), seg_cfg_window, 8000)
+    shards = plan_shards(num_chunks, num_shards, 80000, 8000)
     max_shard_chunks = max(s.num_chunks for s in shards)
     windows_gb_full = (len(waveform) // 8000) * seg_cfg_window * 4 / 1e9
     windows_gb_shard = max_shard_chunks * seg_cfg_window * 4 / 1e9
 
-    # warm (compile at shard shapes) on a short slice
-    diarizer_warm = LongFormDiarizer(pipeline, num_shards=num_shards)
-    diarizer_warm(waveform[: 16000 * 120])
+    # warm: compile at the REAL shard shapes (run_chunks pads each shard to
+    # the chunk lattice, so one shard-sized run covers them; the persistent
+    # .jax_cache makes this a no-op on later invocations)
+    warm_shard = shards[0]
+    t0 = time.perf_counter()
+    pipeline.run_chunks_device(
+        waveform[warm_shard.sample_lo : warm_shard.sample_hi], warm_shard.num_chunks
+    )
+    print(f"warm (shard-shape compile or cache hit): {time.perf_counter()-t0:.1f}s",
+          flush=True)
 
     t0 = time.perf_counter()
     ann = diarizer(waveform)
@@ -74,12 +82,21 @@ def bench_longform(hours: float, num_shards: int):
     return audio_s / wall
 
 
-def bench_native_ahc():
+def bench_native_ahc(full: bool = False):
+    """Measured once on the bench host (full sweep, 192-d unit vectors):
+        N=2000:  native 2.2 s | scipy 0.25 s | numpy 4.95 s
+        N=10000: native 232 s | scipy 10.9 s
+        N=20000: native 758 s | scipy 45.2 s
+    scipy's NN-chain wins decisively on high-dimensional embeddings (the
+    native lazy-revalidation scheme degrades as merges invalidate
+    candidates); clustering.ahc's "auto" therefore prefers scipy. The
+    default run keeps to N=2000 (the full sweep is ~17 min); pass
+    --full-ahc to re-measure everything."""
     from pyannote_audio_speaker_diarization_cpp_tpu.clustering import ahc
 
     rng = np.random.default_rng(0)
     print("\nAHC backends (centroid linkage, L2-normalized 192-d):")
-    for n in (2000, 10000, 20000):
+    for n in (2000, 10000, 20000) if full else (2000,):
         x = rng.normal(size=(n, 192))
         x /= np.linalg.norm(x, axis=1, keepdims=True)
         rows = []
@@ -100,8 +117,43 @@ def bench_native_ahc():
         print(f"  N={n:6d}: {msg}", flush=True)
 
 
+def bench_streaming(minutes: float = 20.0, block_s: float = 1.0):
+    """Simulated live stream: feed `block_s`-second blocks, report per-feed
+    emission latency (incremental centroid assignment between full
+    reclusters) and the realtime factor."""
+    from pyannote_audio_speaker_diarization_cpp_tpu.pipelines.streaming import (
+        StreamingDiarizer,
+    )
+
+    data = wavio.read_wav(REFERENCE_WAV)
+    base = (data.samples.mean(axis=0) / 32768.0).astype(np.float32)
+    n = int(minutes * 60 * 16000)
+    waveform = np.tile(base, int(np.ceil(n / len(base))))[:n]
+
+    pipeline = SpeakerDiarizationPipeline(seg_batch=32, emb_batch=32)
+    stream = StreamingDiarizer(pipeline, emit_every=8, recluster_every=4)
+    block = int(block_s * 16000)
+    t0 = time.perf_counter()
+    emissions = 0
+    for i in range(0, len(waveform), block):
+        if stream.feed(waveform[i : i + block]) is not None:
+            emissions += 1
+    stream.flush()
+    wall = time.perf_counter() - t0
+    lats = np.asarray(stream.feed_latencies)
+    print(
+        f"\nstreaming: {minutes:.0f} min in {wall:.1f} s "
+        f"({minutes*60/wall:.1f}x realtime) | {emissions} emissions | "
+        f"emit latency mean {lats.mean()*1e3:.0f} ms / p95 "
+        f"{np.percentile(lats, 95)*1e3:.0f} ms / max {lats.max()*1e3:.0f} ms",
+        flush=True,
+    )
+
+
 if __name__ == "__main__":
-    hours = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-    shards = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    args = [a for a in sys.argv[1:] if a != "--full-ahc"]
+    hours = float(args[0]) if args else 1.0
+    shards = int(args[1]) if len(args) > 1 else 8
     bench_longform(hours, shards)
-    bench_native_ahc()
+    bench_streaming()
+    bench_native_ahc(full="--full-ahc" in sys.argv)

@@ -67,3 +67,22 @@ def test_streaming_flush_twice_raises(tiny_pipeline):
 def test_streaming_empty_flush(tiny_pipeline):
     stream = StreamingDiarizer(tiny_pipeline)
     assert len(stream.flush().turns()) == 0
+
+
+def test_streaming_incremental_clustering(tiny_pipeline):
+    """recluster_every > 1: interim emissions assign new embeddings to the
+    stored centroids (O(N*K) instead of per-emit AHC); flush still runs a
+    FULL recluster and stays offline-exact. Latencies are recorded."""
+    rng = np.random.default_rng(11)
+    audio = (0.1 * rng.normal(size=int(9.7 * 16000))).astype(np.float32)
+
+    stream = StreamingDiarizer(tiny_pipeline, emit_every=2, recluster_every=3)
+    emitted = 0
+    for i in range(0, len(audio), 4000):
+        if stream.feed(audio[i : i + 4000]) is not None:
+            emitted += 1
+    final = stream.flush()
+    assert emitted >= 3  # several emissions -> the incremental path ran
+    assert len(stream.feed_latencies) == emitted
+    assert all(t > 0 for t in stream.feed_latencies)
+    assert str(final) == str(tiny_pipeline(audio))
