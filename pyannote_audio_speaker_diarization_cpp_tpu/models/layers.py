@@ -272,11 +272,10 @@ def bilstm_layer_fused(
     mask_t = None
     if valid is not None:
         t = jnp.arange(T)
-        ones = jnp.ones((T, B), x.dtype)
         m_bwd = jnp.swapaxes(
             (t[None, :] >= (T - valid)[:, None]).astype(x.dtype), 0, 1
         )  # (T, B): flipped-time validity for the backward direction
-        mask_t = jnp.stack([ones, m_bwd], axis=1)  # (T, 2, B)
+        mask_t = m_bwd
 
     def step(carry, xs_t):
         if mask_t is None:
@@ -291,8 +290,12 @@ def bilstm_layer_fused(
         c = f * c + i * g
         h = o * jnp.tanh(c)
         if mask_t is not None:
-            h = h * m[..., None]
-            c = c * m[..., None]
+            # only the backward slice (index 1) needs masking: its flipped
+            # sequence carries padding first; the forward direction never
+            # sees padding before real frames (ADVICE r2: the all-ones
+            # forward mask was dead work on the sequential critical path)
+            h = h.at[1].multiply(m[..., None])
+            c = c.at[1].multiply(m[..., None])
         return (h, c), h
 
     init = (
