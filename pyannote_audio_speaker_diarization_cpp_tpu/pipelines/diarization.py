@@ -564,6 +564,47 @@ class SpeakerDiarizationPipeline:
         """``dump``: optional utils.debug_dump.DumpSession recording the
         canonical pipeline intermediates under the reference's names
         (SURVEY.md section 4.3 checklist) for differential verification."""
+        pending = self._dispatch(audio, sample_rate)
+        return self._collect(
+            pending,
+            num_speakers=num_speakers,
+            min_speakers=min_speakers,
+            max_speakers=max_speakers,
+            dump=dump,
+        )
+
+    def map(
+        self,
+        audios,
+        sample_rate: Optional[int] = None,
+        num_speakers: Optional[int] = None,
+        min_speakers: Optional[int] = None,
+        max_speakers: Optional[int] = None,
+    ):
+        """Pipelined batch diarization: dispatch BOTH device stages for
+        every request up front, then collect in submission order — request
+        i's d2h transfers and host clustering overlap request j>i's device
+        compute, so aggregate throughput approaches the pure-compute
+        ceiling instead of paying the fetch round trips per request
+        (docs/PERF.md "remote-tunnel transfer model"; the reference
+        processes files strictly one at a time). Device memory per
+        in-flight request is a few MB of stage outputs — the 80000-sample
+        window tensors are jit-internal and freed at dispatch end."""
+        pendings = [self._dispatch(a, sample_rate) for a in audios]
+        return [
+            self._collect(
+                p,
+                num_speakers=num_speakers,
+                min_speakers=min_speakers,
+                max_speakers=max_speakers,
+            )
+            for p in pendings
+        ]
+
+    def _dispatch(self, audio, sample_rate=None):
+        """Host prep + BOTH async device-stage dispatches for one request;
+        returns the pending state _collect needs. No device sync happens
+        here."""
         cfg = self.config
         seg_cfg = cfg.segmentation
         sr = seg_cfg.sample_rate
@@ -629,9 +670,47 @@ class SpeakerDiarizationPipeline:
         else:
             self.timings.segmentation = time.perf_counter() - t0
             self.timings.embedding = 0.0
+        return {
+            "num_samples": num_samples,
+            "num_chunks": num_chunks,
+            "num_padded": num_padded,
+            "segmentations": segmentations,
+            "binarized": binarized,
+            "count_raw": count_raw,
+            "inactive": inactive,
+            "emb": emb,
+            "too_short": too_short,
+            "chunk_frames": chunk_frames,
+            "real_plan": real_plan,
+            "count_frames": count_frames,
+        }
+
+    def _collect(
+        self,
+        pending,
+        num_speakers=None,
+        min_speakers=None,
+        max_speakers=None,
+        dump=None,
+    ) -> Annotation:
+        """Fetch one pending request's clustering inputs, cluster on host,
+        run the device post-step, decode the timeline."""
+        seg_cfg = self.config.segmentation
+        num_samples = pending["num_samples"]
+        num_chunks = pending["num_chunks"]
+        num_padded = pending["num_padded"]
+        segmentations = pending["segmentations"]
+        binarized = pending["binarized"]
+        count_raw = pending["count_raw"]
+        inactive = pending["inactive"]
+        emb = pending["emb"]
+        too_short = pending["too_short"]
+        chunk_frames = pending["chunk_frames"]
+        real_plan = pending["real_plan"]
+        count_frames = pending["count_frames"]
 
         # fetch ONLY what host clustering needs (embeddings are the bulk:
-        # N x 192 f32). The full segmentations tensor (390 KB for the 59 s
+        # N x 192 f16). The full segmentations tensor (390 KB for the 59 s
         # wav — half the old wall clock on the remote-tunnel d2h) stays
         # resident; _post_cluster reduces it on device after clustering.
         # In dump mode everything travels and the host twin (finalize) runs

@@ -260,3 +260,16 @@ def test_pipeline_bfloat16_compute_dtype_close_to_f32():
     assert np.array_equal(valid, ~np.isnan(e16).any(axis=-1))
     diff = np.abs(e32[valid] - e16[valid])
     assert diff.max() < 0.005  # << the reference's 0.02 envelope
+
+
+def test_pipeline_map_equals_sequential(small_pipeline):
+    """Pipelined batch mode (map): all stages dispatched before any
+    collection — results must equal one-at-a-time calls exactly."""
+    rng = np.random.default_rng(21)
+    audios = [
+        (0.1 * rng.normal(size=int(s * 16000))).astype(np.float32)
+        for s in (3.0, 4.7, 2.2)
+    ]
+    batched = small_pipeline.map(audios)
+    singles = [small_pipeline(a) for a in audios]
+    assert [str(a) for a in batched] == [str(a) for a in singles]
