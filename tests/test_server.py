@@ -79,3 +79,29 @@ def test_unknown_path(server_url):
     with pytest.raises(urllib.error.HTTPError) as err:
         urllib.request.urlopen(f"{server_url}/nope")
     assert err.value.code == 404
+
+
+def test_concurrent_requests_pipeline(server_url):
+    """Concurrent POSTs overlap on the device (only the dispatch phase is
+    serialized); every response must match the sequential answer."""
+    payloads = [_wav_bytes(seconds=3, seed=s) for s in (5, 6, 7, 8)]
+
+    def post(body):
+        req = urllib.request.Request(f"{server_url}/diarize", data=body)
+        with urllib.request.urlopen(req) as r:
+            return json.load(r)
+
+    sequential = [post(b) for b in payloads]
+
+    results = [None] * len(payloads)
+
+    def worker(i):
+        results[i] = post(payloads[i])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for got, want in zip(results, sequential):
+        assert got["turns"] == want["turns"]
