@@ -229,55 +229,21 @@ class LongFormDiarizer:
                 pyannet_mod.pyannet_num_frames(orphan_samples, p.pyannet_cfg), 0
             )
 
-        # ---------- per-shard stage 1+2 ----------
-        if not self._multihost:
-            # single-process bounded-memory path: scores stay on device
-            return self._run_device_resident(
-                audio,
-                sr,
-                shards,
-                num_chunks,
-                num_samples,
-                orphan_frames,
-                orphan_samples,
-                num_speakers,
-                min_speakers,
-                max_speakers,
-            )
-        shard = shards[self.comm.process_index()]
-        is_last = shard.chunk_hi == num_chunks and shard.num_chunks > 0
-        segs, binz, embs = self._run_shard(
-            shard,
-            self._load_shard(audio, sr, shard),
-            orphan_frames if is_last else None,
-            orphan_samples if is_last else None,
-        )
-        pad_to = max(self._shard_counts(num_chunks))
-        segs = self._gather(segs, pad_to, shard.num_chunks, num_chunks)
-        binz = self._gather(binz, pad_to, shard.num_chunks, num_chunks)
-        embs = self._gather(embs, pad_to, shard.num_chunks, num_chunks)
-
-        # ---------- replicated global post-processing ----------
-        chunk_frames = SlidingWindow(
-            0.0, seg_cfg.step, seg_cfg.duration, num_samples=num_samples
-        )
-        frame_grid = SlidingWindow(
-            seg_cfg.frame_start, seg_cfg.frame_step, seg_cfg.frame_duration
-        )
-        count, count_frames = rec.speaker_count(
-            binz, chunk_frames, frame_grid, num_samples, warm_up=seg_cfg.warm_up
-        )
-        count_frames = dataclasses.replace(count_frames, num_samples=num_samples)
-        return p.finalize(
-            segs,
-            binz,
-            embs,
-            count,
-            count_frames,
-            chunk_frames,
-            num_speakers=num_speakers,
-            min_speakers=min_speakers,
-            max_speakers=max_speakers,
+        # ---------- per-shard stage 1+2 (single-process AND multi-host) ----
+        # one device-resident implementation: per-host score tensors never
+        # leave their device; only embeddings (f16) and small count /
+        # activation grids cross DCN (multi-host) or the d2h tunnel
+        return self._run_device_resident(
+            audio,
+            sr,
+            shards,
+            num_chunks,
+            num_samples,
+            orphan_frames,
+            orphan_samples,
+            num_speakers,
+            min_speakers,
+            max_speakers,
         )
 
     # ------------------------------------------------------------------
@@ -295,16 +261,20 @@ class LongFormDiarizer:
         min_speakers,
         max_speakers,
     ) -> Annotation:
-        """Single-process bounded-memory long-form: per shard the bulky
-        per-chunk score tensors stay RESIDENT on device; the host receives
-        only embeddings (f16) and tiny per-shard count/activation grids
-        (~1 MB/shard instead of ~7 MB — decisive at ~10 MB/s tunnel d2h).
+        """Device-resident long-form, single-process AND multi-host: each
+        host's bulky per-chunk score tensors stay RESIDENT on its device;
+        the host side receives only embeddings (f16) and tiny per-shard
+        count/activation grids (~1 MB/shard instead of ~7 MB — decisive at
+        ~10 MB/s tunnel d2h, and the only payloads crossing DCN in a
+        multi-host run).
 
         Both the speaker-count overlap-add (numerator/denominator) and the
         post-clustering skip-average aggregation are LINEAR in the chunks,
         so per-shard partial grids computed on device with globally
-        consistent start frames stitch by addition — same math as the
-        single-shot pipeline (equality tested in tests/test_longform.py).
+        consistent start frames stitch by ADDITION — a sum over hosts is an
+        allgather+sum collective; same math as the single-shot pipeline
+        (equality tested in tests/test_longform.py, incl. simulated hosts
+        with uneven and empty shards).
         """
         import jax
         import jax.numpy as jnp
@@ -319,14 +289,20 @@ class LongFormDiarizer:
         right = math.floor(F * seg_cfg.warm_up[1])
         tspan = F - left - right
 
+        if self._multihost:
+            local_shards = [shards[self.comm.process_index()]]
+        else:
+            local_shards = [s for s in shards if s.num_chunks]
+
         count_plan = p._count_plan(num_chunks)
         dia_plan = p._diarization_plan(num_chunks)
         num_acc = np.zeros(count_plan.num_frames, np.float64)
         den_acc = np.zeros(count_plan.num_frames, np.float64)
         embs, inacts, resident = [], [], []
-        for shard in shards:
+        for shard in local_shards:
             if shard.num_chunks == 0:
-                continue
+                continue  # empty shard (more hosts than chunks): it still
+                # joins every collective below with zero contributions
             is_last = shard.chunk_hi == num_chunks
             segs_dev, binz_dev, valid, emb, inact = p.run_chunks_device(
                 self._load_shard(audio, sr, shard),
@@ -356,10 +332,30 @@ class LongFormDiarizer:
             den_acc[gofs : gofs + take] += d_h[:take]
             resident.append((shard, segs_dev, valid))
 
-        embeddings = np.concatenate(embs, axis=0)
-        inactive = np.concatenate(inacts, axis=0)
+        S = seg_cfg.num_speakers
+        D = p.ecapa_cfg.emb_dim
+        if embs:
+            local_emb = np.concatenate(embs, axis=0)
+            local_inact = np.concatenate(inacts, axis=0)
+        else:
+            local_emb = np.zeros((0, S, D), np.float64)
+            local_inact = np.zeros((0, S), bool)
 
-        # global clustering on host (embeddings are the only bulk transfer)
+        if self._multihost:
+            # the only cross-host payloads: f16-sized embeddings + the two
+            # small count grids (allgather over DCN), summed/stitched here
+            n_local = local_shards[0].num_chunks
+            pad_to = max(self._shard_counts(num_chunks))
+            embeddings = self._gather(local_emb, pad_to, n_local, num_chunks)
+            inactive = self._gather(local_inact, pad_to, n_local, num_chunks)
+            num_acc = self.comm.allgather(num_acc).sum(axis=0)
+            den_acc = self.comm.allgather(den_acc).sum(axis=0)
+        else:
+            embeddings = local_emb
+            inactive = local_inact
+
+        # global clustering, replicated on every host (deterministic on the
+        # gathered embeddings; embeddings are the only bulk transfer)
         hard, _soft = p.clusterer(
             embeddings,
             num_clusters=num_speakers or cfg.num_speakers,
@@ -391,6 +387,9 @@ class LongFormDiarizer:
             )
             take = min(local_n, dia_plan.num_frames - gofs)
             activations[gofs : gofs + take] += act[:take]
+
+        if self._multihost:
+            activations = self.comm.allgather(activations).sum(axis=0)
 
         eps = float(np.finfo(np.float64).eps)
         count_data = np.where(den_acc == 0.0, 0.0, num_acc / np.maximum(den_acc, eps))
