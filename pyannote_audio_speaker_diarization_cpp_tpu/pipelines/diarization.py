@@ -601,6 +601,41 @@ class SpeakerDiarizationPipeline:
             for p in pendings
         ]
 
+    def warmup(self, max_audio_seconds: float = 60.0, num_clusters: int = 4):
+        """Pre-compile every jitted step for every chunk bucket up to
+        ``max_audio_seconds`` (plus the post-clustering step at the common
+        K lattice), so no request pays a first-shape compile. Compiles
+        persist in the XLA compilation cache when one is configured, making
+        this a near-no-op on later process starts. Returns the list of
+        padded chunk counts warmed."""
+        seg_cfg = self.config.segmentation
+        max_samples = int(max_audio_seconds * seg_cfg.sample_rate)
+        max_chunks = max(
+            win.chunk_count(max_samples, seg_cfg.window_size, seg_cfg.step_size), 1
+        )
+        buckets = sorted(
+            {self.chunk_lattice(n) for n in range(1, max_chunks + 1)}
+        )
+        warmed = []
+        for npad in buckets:
+            audio_len = (npad - 1) * seg_cfg.step_size + seg_cfg.window_size
+            pending = self._dispatch(np.zeros(audio_len, np.float32))
+            # drive the post step too (compiles per (npad, k_pad) pair)
+            k_pad = _ceil_to(num_clusters, 4)
+            membership = np.zeros((npad, seg_cfg.num_speakers, k_pad), bool)
+            plan = self._diarization_plan(npad)
+            jax.block_until_ready(
+                _post_cluster(
+                    pending["segmentations"],
+                    jnp.asarray(membership),
+                    jnp.asarray(plan.start_frames),
+                    plan.num_frames,
+                )
+            )
+            jax.block_until_ready((pending["emb"], pending["count_raw"]))
+            warmed.append(npad)
+        return warmed
+
     def _dispatch(self, audio, sample_rate=None):
         """Host prep + BOTH async device-stage dispatches for one request;
         returns the pending state _collect needs. No device sync happens

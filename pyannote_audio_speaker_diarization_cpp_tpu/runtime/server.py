@@ -169,11 +169,21 @@ def main(argv=None) -> int:
     parser.add_argument("--mesh", action="store_true", help="shard over all devices")
     parser.add_argument("--seg-batch", type=int, default=None)
     parser.add_argument("--emb-batch", type=int, default=None)
+    parser.add_argument(
+        "--warmup",
+        type=float,
+        default=0.0,
+        metavar="SECONDS",
+        help="pre-compile all chunk buckets up to this audio length before "
+        "accepting requests (no first-request compile stall)",
+    )
     args = parser.parse_args(argv)
 
-    service = DiarizationService(
-        build_pipeline(args.checkpoint, args.mesh, args.seg_batch, args.emb_batch)
-    )
+    pipeline = build_pipeline(args.checkpoint, args.mesh, args.seg_batch, args.emb_batch)
+    if args.warmup > 0:
+        warmed = pipeline.warmup(args.warmup)
+        print(f"warmed {len(warmed)} chunk buckets (up to {args.warmup:.0f} s audio)")
+    service = DiarizationService(pipeline)
     server = serve(service, args.host, args.port)
     print(f"serving on http://{args.host}:{args.port} (POST /diarize)")
     server.serve_forever()

@@ -105,3 +105,14 @@ def test_concurrent_requests_pipeline(server_url):
         t.join()
     for got, want in zip(results, sequential):
         assert got["turns"] == want["turns"]
+
+
+def test_pipeline_warmup_compiles_buckets(tiny1s_pipeline):
+    """warmup() pre-compiles every chunk bucket up to the horizon; requests
+    at any length below it then hit only cached executables."""
+    warmed = tiny1s_pipeline.warmup(max_audio_seconds=6.0)
+    assert warmed == sorted(set(warmed)) and len(warmed) >= 1
+    # a request inside the warmed horizon must work (and reuse the compiles)
+    rng = np.random.default_rng(3)
+    ann = tiny1s_pipeline((0.1 * rng.normal(size=4 * 16000)).astype(np.float32))
+    assert ann is not None
