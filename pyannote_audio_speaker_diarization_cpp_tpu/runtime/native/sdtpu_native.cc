@@ -5,15 +5,17 @@
 // min-heap fast_linkage — and pipeline/src/frontend/wav.h). The device does
 // all NN compute; this library accelerates the two host-side hot spots:
 //
-//   * centroid-linkage AHC over (N, d) embeddings, keeping per-cluster
-//     nearest-neighbor candidates with lazy revalidation, OpenMP-parallel.
-//     MEASURED (192-d unit vectors, the bench host): N=2000 in 2.2 s,
-//     N=10000 in 232 s — the lazy-revalidation scheme degrades on
-//     high-dimensional data where merges invalidate many candidates, so
-//     scipy's NN-chain (0.25 s / 10.9 s at those sizes) wins whenever
-//     importable and clustering.ahc's "auto" prefers it; this backend is
-//     the no-scipy fallback (beats the pure-numpy path ~2x) and the
-//     pipeline's default 1000-embedding AHC cap keeps every backend fast.
+//   * centroid-linkage AHC over (N, d) embeddings: the same
+//     distance-matrix + Lance-Williams fast_linkage recurrence scipy runs,
+//     with directional nearest-neighbor candidates and OpenMP-parallel
+//     pdist/update loops. MEASURED (192-d unit vectors, the bench host),
+//     EXACT scipy merge parity at every size:
+//       N=2000:  native 0.26 s | scipy 0.92 s   (3.5x)
+//       N=10000: native 7.0 s  | scipy 10.8 s   (1.5x)
+//       N=20000: native 42 s   | scipy 40 s     (par)
+//     (the round-2 centroid-recompute scheme measured 2.2/232/758 s at
+//     those sizes — replaced). The pipeline's pyannote-default
+//     1000-embedding AHC cap keeps clustering sub-second regardless.
 //   * RIFF/WAV parsing straight into float32 (8/16/32-bit PCM).
 //
 // C ABI only; Python binds via ctypes (no pybind11 in the image).
@@ -45,7 +47,163 @@ static inline double sq_dist(const double* a, const double* b, int d) {
 // Centroid-linkage over Euclidean distances, global-minimum merge order.
 // X: (n, d) row-major. Z out: (n-1, 4) rows [id_a, id_b, dist, size] with
 // scipy id numbering (new cluster i gets id n+i).
+//
+// Primary path (n <= SDTPU_DMAT_MAX): full distance matrix +
+// Lance-Williams centroid updates — the same O(1)-per-lookup recurrence
+// scipy's fast_linkage runs, with the O(n^2 d) pdist and the O(n) per-merge
+// update loops OpenMP-parallel (measured numbers in the header above).
+// Fallback path (very large n): centroid-recompute with lazy candidates —
+// O(n) memory instead of O(n^2).
+
+static const long long SDTPU_DMAT_MAX = 27000;  // ~5.8 GB square f64
+
+static int linkage_centroid_dmat(const double* X, int n, int d, double* Z) {
+  // FULL symmetric matrix: every lookup and every rescan is a contiguous
+  // row read (the condensed layout forces stride-n column walks — the
+  // dominant cache cost); only the mirror writes are scattered stores.
+  std::vector<double> D((size_t)n * n, 0.0);
+#pragma omp parallel for schedule(dynamic, 8)
+  for (int i = 0; i < n - 1; ++i) {
+    const double* xi = X + (size_t)i * d;
+    double* row = &D[(size_t)i * n];
+    for (int j = i + 1; j < n; ++j) {
+      const double v = std::sqrt(sq_dist(xi, X + (size_t)j * d, d));
+      row[j] = v;
+      D[(size_t)j * n + i] = v;
+    }
+  }
+
+  std::vector<double> size(n, 1.0);
+  std::vector<int> scipy_id(n);
+  std::vector<char> active(n, 1);
+  for (int i = 0; i < n; ++i) scipy_id[i] = i;
+  // DIRECTIONAL candidates (scipy fast_linkage's invariant): nbr[i] is the
+  // nearest ACTIVE cluster with index > i, so every pair is tracked exactly
+  // once and a rescan walks the CONTIGUOUS condensed row D[i, i+1..) —
+  // column walks (stride ~n) were the previous version's cache killer.
+  std::vector<int> nbr(n, -1);
+  std::vector<double> nbr_d(n, std::numeric_limits<double>::infinity());
+
+  auto recompute_nbr = [&](int i) {
+    double best = std::numeric_limits<double>::infinity();
+    int best_j = -1;
+    const double* row = &D[(size_t)i * n];
+    for (int j = i + 1; j < n; ++j) {
+      if (!active[j]) continue;
+      const double dist = row[j];
+      if (dist < best) {
+        best = dist;
+        best_j = j;
+      }
+    }
+    nbr[i] = best_j;
+    nbr_d[i] = best;
+  };
+
+  using HeapItem = std::pair<double, int>;
+  std::priority_queue<HeapItem, std::vector<HeapItem>, std::greater<HeapItem>> heap;
+#pragma omp parallel for schedule(dynamic, 32)
+  for (int i = 0; i < n - 1; ++i) recompute_nbr(i);
+  for (int i = 0; i < n - 1; ++i)
+    if (nbr[i] >= 0) heap.push({nbr_d[i], i});
+
+  for (int it = 0; it < n - 1; ++it) {
+    int i = -1;
+    double dist = 0.0;
+    for (;;) {
+      if (heap.empty()) {  // defensive: rebuild every candidate
+        for (int k = 0; k < n - 1; ++k)
+          if (active[k]) {
+            recompute_nbr(k);
+            if (nbr[k] >= 0) heap.push({nbr_d[k], k});
+          }
+      }
+      auto [hd, slot] = heap.top();
+      heap.pop();
+      if (!active[slot]) continue;
+      if (nbr[slot] < 0 || !active[nbr[slot]] ||
+          D[(size_t)slot * n + nbr[slot]] != hd) {
+        recompute_nbr(slot);
+        if (nbr[slot] >= 0) heap.push({nbr_d[slot], slot});
+        continue;
+      }
+      if (!heap.empty() && heap.top().first < hd) {
+        heap.push({hd, slot});
+        continue;
+      }
+      i = slot;
+      dist = hd;
+      break;
+    }
+    const int j = nbr[i];  // i < j by the directional invariant
+    int ida = scipy_id[i], idb = scipy_id[j];
+    if (ida > idb) std::swap(ida, idb);
+    const double ni = size[i], nj = size[j];
+    Z[4 * it + 0] = ida;
+    Z[4 * it + 1] = idb;
+    Z[4 * it + 2] = dist;
+    Z[4 * it + 3] = ni + nj;
+
+    // merge into the LARGER index j (scipy's relabeling): pairs (k, j)
+    // keep their direction for every surviving k, and dead slot i only
+    // invalidates candidates that pointed AT it (caught on pop)
+    size[j] = ni + nj;
+    scipy_id[j] = n + it;
+    active[i] = 0;
+
+    // Lance-Williams centroid update of the pairs (k, j), plus eager
+    // candidate improvements and j's own right-side nearest neighbor
+    const double s = ni + nj;
+    const double dij2 = dist * dist;
+    double best = std::numeric_limits<double>::infinity();
+    int best_k = -1;
+    std::vector<HeapItem> pushes;
+#pragma omp parallel
+    {
+      double lbest = std::numeric_limits<double>::infinity();
+      int lbest_k = -1;
+      std::vector<HeapItem> lpush;
+      const double* row_i = &D[(size_t)i * n];
+      double* row_j = &D[(size_t)j * n];
+#pragma omp for nowait schedule(static)
+      for (int k = 0; k < n; ++k) {
+        if (!active[k] || k == j) continue;
+        const double dki = row_i[k];
+        const double dkj = row_j[k];
+        const double dk = std::sqrt((ni * dki * dki + nj * dkj * dkj) / s -
+                                    (ni * nj * dij2) / (s * s));
+        row_j[k] = dk;
+        D[(size_t)k * n + j] = dk;  // mirror (scattered store)
+        if (k < j) {
+          if (dk < nbr_d[k]) {
+            nbr_d[k] = dk;
+            nbr[k] = j;
+            lpush.push_back({dk, k});
+          }
+        } else if (dk < lbest) {
+          lbest = dk;
+          lbest_k = k;
+        }
+      }
+#pragma omp critical
+      {
+        if (lbest < best) {
+          best = lbest;
+          best_k = lbest_k;
+        }
+        pushes.insert(pushes.end(), lpush.begin(), lpush.end());
+      }
+    }
+    for (const auto& p : pushes) heap.push(p);
+    nbr[j] = best_k;
+    nbr_d[j] = best;
+    if (best_k >= 0) heap.push({best, j});
+  }
+  return 0;
+}
+
 int sdtpu_linkage_centroid(const double* X, int n, int d, double* Z) {
+  if (n >= 2 && n <= SDTPU_DMAT_MAX) return linkage_centroid_dmat(X, n, d, Z);
   if (n < 2) return 0;
   std::vector<double> centroids(X, X + (size_t)n * d);
   std::vector<double> size(n, 1.0);
