@@ -19,7 +19,9 @@ import time
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="TPU-native speaker diarization")
-    parser.add_argument("wav", help="input audio (RIFF wav)")
+    parser.add_argument(
+        "wav", nargs="+", help="input audio (RIFF wav); several files run PIPELINED"
+    )
     parser.add_argument(
         "--checkpoint",
         default=None,
@@ -83,16 +85,24 @@ def main(argv=None) -> int:
     pipeline = SpeakerDiarizationPipeline(
         params=params, seg_batch=args.seg_batch, emb_batch=args.emb_batch
     )
-    annotation = pipeline(
-        args.wav,
+    bounds = dict(
         num_speakers=args.num_speakers,
         min_speakers=args.min_speakers,
         max_speakers=args.max_speakers,
     )
+    if len(args.wav) == 1:
+        annotations = [pipeline(args.wav[0], **bounds)]
+    else:
+        # several files: dispatch all before collecting (pipeline.map) —
+        # one file's transfers overlap the others' device compute
+        annotations = pipeline.map(args.wav, **bounds)
     total = time.perf_counter() - t0
 
-    for turn in annotation.turns():
-        print(f"[{turn.start:.3f} -- {turn.end:.3f}] --> Speaker_{turn.label}")
+    for path, annotation in zip(args.wav, annotations):
+        if len(args.wav) > 1:
+            print(f"== {path}")
+        for turn in annotation.turns():
+            print(f"[{turn.start:.3f} -- {turn.end:.3f}] --> Speaker_{turn.label}")
     t = pipeline.timings
     print("-----------", file=sys.stderr)
     print(f"Segmentation time: {t.segmentation*1000:.0f}ms", file=sys.stderr)
@@ -103,7 +113,8 @@ def main(argv=None) -> int:
 
     if args.rttm:
         with open(args.rttm, "w") as f:
-            f.write(annotation.to_rttm(args.wav) + "\n")
+            for path, annotation in zip(args.wav, annotations):
+                f.write(annotation.to_rttm(path) + "\n")
     return 0
 
 
