@@ -375,3 +375,19 @@ def test_load_params_auto_npz_dir_still_works(tmp_path):
     loaded = ingest.load_params_auto(str(tmp_path))
     _leaves_equal(params["segmentation"], loaded["segmentation"])
     _leaves_equal(params["embedding"], loaded["embedding"])
+
+
+def test_load_pyannote_checkpoint_model_prefixed(tmp_path):
+    """Some Lightning exports prefix every state-dict key with 'model.'
+    (wrapper modules); the loader strips common prefixes."""
+    rng = np.random.default_rng(8)
+    sd_np = make_pyannote_pyannet_state_dict(rng)
+    ckpt = {
+        "state_dict": {
+            f"model.{k}": torch.from_numpy(v.copy()) for k, v in sd_np.items()
+        }
+    }
+    path = str(tmp_path / "wrapped.ckpt")
+    torch.save(ckpt, path)
+    params = ingest.load_pyannote_checkpoint(path)
+    _leaves_equal(params, convert.pyannet_from_pyannote(sd_np))
