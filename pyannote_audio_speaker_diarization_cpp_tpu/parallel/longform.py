@@ -15,13 +15,13 @@ greenfield TPU design for the same workload:
   - Each shard runs the pipeline's jitted stage-1/stage-2 dispatches
     locally; within a host, the chunk axis additionally data-parallelizes
     over the chip mesh via the pipeline's sharding constraints.
-  - The per-chunk outputs are tiny (293x3 scores + one 192-d embedding per
-    (chunk, speaker)): they are allgathered across hosts — over DCN in a
-    real multi-host run (jax.experimental.multihost_utils), by plain
-    concatenation when the shards run sequentially in one process.
-  - Speaker counting, clustering, and timeline reconstruction are
-    replicated host work on the gathered tensors — bit-identical to the
-    single-shot pipeline (tested).
+  - Per-chunk score tensors stay RESIDENT on each host's device; what
+    crosses hosts (DCN allgather in a real multi-host run,
+    jax.experimental.multihost_utils) is only the f16 embeddings plus small
+    speaker-count and activation grids, both linear in the chunks and
+    stitched by addition (_run_device_resident).
+  - Clustering and the timeline decode are replicated host work on the
+    gathered tensors — equal to the single-shot pipeline (tested).
 
 The same sharding doubles as the BOUNDED-MEMORY path on a single chip:
 ``LongFormDiarizer(pipeline, num_shards=8)`` processes an hour-long file in
@@ -155,14 +155,6 @@ class LongFormDiarizer:
             piece = audio[shard.sample_lo : shard.sample_hi]
         out[: piece.shape[0]] = piece
         return out
-
-    def _run_shard(
-        self, shard: ChunkShard, waveform_slice, orphan_frames, orphan_samples=None
-    ):
-        """stage1 + stage2 on one shard; returns real-chunk host tensors."""
-        return self.pipeline.run_chunks(
-            waveform_slice, shard.num_chunks, orphan_frames, orphan_samples
-        )
 
     def _gather(self, local, pad_to: int, real: int, total: int):
         """Allgather per-shard arrays of uneven length: pad the leading axis
