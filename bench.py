@@ -23,10 +23,49 @@ of that run.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+
+def _supervised_main() -> int:
+    """Run the real bench in a subprocess with a timeout and one retry.
+
+    The remote-tunnel TPU intermittently wedges a single execution or fetch
+    for 2-10 minutes (docs/PERF.md "tunnel flakiness"); a wedge must not
+    eat the round's bench artifact. Each attempt gets a hard wall; on
+    timeout the child is killed (exact PID) and one fresh attempt runs —
+    compiles persist in .jax_cache, so a retry is warm."""
+    env = dict(os.environ, SDTPU_BENCH_INNER="1")
+    last_out = ""
+    for attempt in (1, 2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=480,
+            )
+        except subprocess.TimeoutExpired as exc:
+            print(
+                f"# attempt {attempt} timed out after 480s (tunnel wedge?), "
+                f"{'retrying' if attempt == 1 else 'giving up'}",
+                file=sys.stderr,
+            )
+            last_out = (exc.stdout or b"").decode() if isinstance(exc.stdout, bytes) else (exc.stdout or "")
+            continue
+        sys.stderr.write(proc.stderr)
+        if proc.returncode == 0 and '"metric"' in proc.stdout:
+            sys.stdout.write(proc.stdout)
+            return 0
+        last_out = proc.stdout
+        print(f"# attempt {attempt} failed (rc={proc.returncode})", file=sys.stderr)
+    if last_out:
+        sys.stdout.write(last_out)
+    return 1
 
 # persistent XLA compilation cache: the heavy PyanNet/ECAPA compiles happen
 # once per machine, not once per process
@@ -221,4 +260,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SDTPU_BENCH_INNER"):
+        main()
+    else:
+        raise SystemExit(_supervised_main())
