@@ -205,6 +205,25 @@ def to_annotation(
     active = Annotation()
     for k in range(num_classes):
         line = scores[:, k]
+        if onset == offset and not (line == onset).any():
+            # the production decode: binary scores at a single threshold
+            # (values exactly ON the threshold would keep the loop's state,
+            # so they exclude the fast path). The hysteresis state machine
+            # reduces to runs of line > onset — vectorized edge detection
+            # instead of a Python per-frame loop (an hour of audio is
+            # ~213k frames x K).
+            on = line > onset
+            edges = np.flatnonzero(np.diff(on.astype(np.int8)))
+            run_starts = edges[on[edges + 1]] + 1
+            run_ends = edges[~on[edges + 1]] + 1  # exclusive (first off frame)
+            if on[0]:
+                run_starts = np.concatenate([[0], run_starts])
+            for s_i, e_i in zip(run_starts, run_ends):
+                active.add(timestamps[s_i], timestamps[e_i], k)
+            if on[-1]:
+                # still active at the end: close at the last timestamp
+                active.add(timestamps[run_starts[len(run_ends)]], timestamps[-1], k)
+            continue
         start = timestamps[0]
         is_active = line[0] > onset
         for t in range(1, num_frames):

@@ -273,3 +273,24 @@ def test_pipeline_map_equals_sequential(small_pipeline):
     batched = small_pipeline.map(audios)
     singles = [small_pipeline(a) for a in audios]
     assert [str(a) for a in batched] == [str(a) for a in singles]
+
+
+def test_to_annotation_fast_path_equals_loop():
+    """The vectorized equal-threshold decode must match the hysteresis loop
+    exactly on binary inputs of every edge shape (empty, all-on, edges at
+    both ends, singleton runs)."""
+    frames = SlidingWindow(0.3, 0.016875, 0.016875)
+    rng = np.random.default_rng(5)
+    cases = [
+        np.zeros((50, 3)),
+        np.ones((50, 2)),
+        (rng.uniform(size=(400, 4)) > 0.7).astype(float),
+        np.array([[1.0], [0.0], [1.0], [0.0], [1.0]]),
+    ]
+    for scores in cases:
+        fast = rec.to_annotation(scores, frames, 0.5, 0.5, 0.0, 0.0)
+        # force the loop path via distinct thresholds that behave
+        # identically on 0/1 data (on: >0.5; off: <0.5 vs <0.500001 — both
+        # only triggered by 0.0)
+        loop = rec.to_annotation(scores + 0.0, frames, 0.5, 0.500001, 0.0, 0.0)
+        assert str(fast) == str(loop), scores[:10, 0]
