@@ -391,3 +391,32 @@ def test_load_pyannote_checkpoint_model_prefixed(tmp_path):
     torch.save(ckpt, path)
     params = ingest.load_pyannote_checkpoint(path)
     _leaves_equal(params, convert.pyannet_from_pyannote(sd_np))
+
+
+def test_onnx_packed_fields_decode(tmp_path):
+    """proto3 serializers (the real onnx library) emit repeated scalars
+    PACKED (wire type 2); the hand-rolled decoder must handle both the
+    packed and unpacked encodings of dims/float_data."""
+    # packed dims: field 1, wire 2, payload = varints back to back
+    dims_payload = _pb_varint(2) + _pb_varint(3)
+    msg = _pb_field(1, 2, dims_payload)
+    msg += _pb_field(2, 0, _pb_varint(1))  # FLOAT
+    msg += _pb_field(8, 2, b"packed_w")
+    vals = np.arange(6, dtype=np.float32)
+    msg += _pb_field(4, 2, vals.tobytes())  # packed float_data
+    model = _pb_model([msg], [])
+    path = str(tmp_path / "packed.onnx")
+    with open(path, "wb") as f:
+        f.write(model)
+    inits, nodes = ingest.read_onnx_model(path)
+    np.testing.assert_array_equal(inits["packed_w"], vals.reshape(2, 3))
+
+    # packed int64_data (field 7)
+    msg2 = _pb_field(1, 2, _pb_varint(4))
+    msg2 += _pb_field(2, 0, _pb_varint(7))  # INT64
+    msg2 += _pb_field(8, 2, b"packed_i")
+    msg2 += _pb_field(7, 2, b"".join(_pb_varint(v) for v in (7, 8, 9, 10)))
+    with open(path, "wb") as f:
+        f.write(_pb_model([msg2], []))
+    inits, _ = ingest.read_onnx_model(path)
+    np.testing.assert_array_equal(inits["packed_i"], np.array([7, 8, 9, 10]))
