@@ -76,7 +76,15 @@ def main(argv=None) -> int:
     if params is not None and (
         "segmentation" not in params or "embedding" not in params
     ):
-        # partial artifact: fill the other model with seed-0 weights
+        # partial artifact: fill the other model with seed-0 weights, and
+        # say so — a silently random model makes the output meaningless
+        missing = [k for k in ("segmentation", "embedding") if k not in params]
+        print(
+            f"warning: no {' or '.join(missing)} weights in the given "
+            "artifact(s); filling with RANDOM (seed-0) weights — the "
+            "diarization will not be meaningful",
+            file=sys.stderr,
+        )
         from .models.convert import random_params
 
         params = {**random_params(0), **params}

@@ -125,6 +125,28 @@ def _rebuild_parameter(data, *unused):
     return data
 
 
+# The ONLY builtins a checkpoint pickle may resolve — the data-container set
+# torch's own ``weights_only`` unpickler allows. Everything else (eval, exec,
+# getattr, __import__, ...) becomes an inert _Stub: a crafted checkpoint must
+# not reach code execution through REDUCE (these artifacts are third-party
+# downloads; see module docstring).
+_SAFE_BUILTINS = {
+    "set",
+    "frozenset",
+    "complex",
+    "bytearray",
+    "slice",
+    "list",
+    "tuple",
+    "dict",
+    "str",
+    "bytes",
+    "int",
+    "float",
+    "bool",
+}
+
+
 class _TorchUnpickler(pickle.Unpickler):
     """Unpickles a torch-zip data.pkl: tensors become numpy arrays, every
     other custom global becomes a `_Stub`."""
@@ -142,8 +164,17 @@ class _TorchUnpickler(pickle.Unpickler):
             return _rebuild_parameter
         if (module, name) == ("collections", "OrderedDict"):
             return dict
-        if module == "builtins":
+        # "__builtin__" is the py2-compat module name protocol<=2 pickles
+        # record (torch.save default); overriding find_class bypasses the
+        # Unpickler's own fix_imports mapping
+        if module in ("builtins", "__builtin__") and name in _SAFE_BUILTINS:
             return getattr(__import__("builtins"), name)
+        if (module, name) == ("_codecs", "encode"):
+            # bytearray's protocol-2 reduce goes through codecs.encode;
+            # also on torch's weights_only allowlist
+            import codecs
+
+            return codecs.encode
         if (module, name) == ("torch", "Size"):
             return tuple
         return _Stub
@@ -370,7 +401,15 @@ def _parse_tensor_proto(buf: bytes) -> Tuple[str, np.ndarray]:
     elif double_data:
         arr = np.asarray(double_data, dtype=np.float64)
     elif int_data:
-        arr = np.asarray(int_data, dtype=np.int64).astype(dtype)
+        # negative int64s are varint-encoded as 64-bit two's complement;
+        # mask and reinterpret so e.g. a Reshape shape of -1 survives
+        arr = (
+            np.asarray(
+                [v & 0xFFFFFFFFFFFFFFFF for v in int_data], dtype=np.uint64
+            )
+            .astype(np.int64)
+            .astype(dtype)
+        )
     else:
         arr = np.zeros(0, dtype=dtype)
     if data_type == 16:  # bfloat16 -> f32

@@ -636,10 +636,13 @@ class SpeakerDiarizationPipeline:
             warmed.append(npad)
         return warmed
 
-    def _dispatch(self, audio, sample_rate=None):
+    def _dispatch(self, audio, sample_rate=None, timings: Optional[StageTimings] = None):
         """Host prep + BOTH async device-stage dispatches for one request;
         returns the pending state _collect needs. No device sync happens
-        here."""
+        here. ``timings`` overrides the shared ``self.timings`` sink so
+        concurrent callers (runtime/server.py) get per-request attribution
+        instead of racing on one mutable object."""
+        timings = timings if timings is not None else self.timings
         cfg = self.config
         seg_cfg = cfg.segmentation
         sr = seg_cfg.sample_rate
@@ -698,13 +701,13 @@ class SpeakerDiarizationPipeline:
             # per-stage attribution costs ~2 extra sync round trips over a
             # remote-tunnel TPU (~25 ms each) — opt-in only
             jax.block_until_ready(count_raw)  # stage-1 device work complete
-            self.timings.segmentation = time.perf_counter() - t0
+            timings.segmentation = time.perf_counter() - t0
             t0 = time.perf_counter()
             jax.block_until_ready(emb)  # stage-2 device work complete
-            self.timings.embedding = time.perf_counter() - t0
+            timings.embedding = time.perf_counter() - t0
         else:
-            self.timings.segmentation = time.perf_counter() - t0
-            self.timings.embedding = 0.0
+            timings.segmentation = time.perf_counter() - t0
+            timings.embedding = 0.0
         return {
             "num_samples": num_samples,
             "num_chunks": num_chunks,
@@ -727,9 +730,12 @@ class SpeakerDiarizationPipeline:
         min_speakers=None,
         max_speakers=None,
         dump=None,
+        timings: Optional[StageTimings] = None,
     ) -> Annotation:
         """Fetch one pending request's clustering inputs, cluster on host,
-        run the device post-step, decode the timeline."""
+        run the device post-step, decode the timeline. ``timings``: see
+        _dispatch."""
+        timings = timings if timings is not None else self.timings
         seg_cfg = self.config.segmentation
         num_samples = pending["num_samples"]
         num_chunks = pending["num_chunks"]
@@ -769,7 +775,7 @@ class SpeakerDiarizationPipeline:
         embeddings = np.asarray(emb_h, dtype=np.float64)
         embeddings[too_short_h] = np.nan
         embeddings = embeddings.reshape(num_chunks, seg_cfg.num_speakers, -1)
-        self.timings.fetch = time.perf_counter() - t0
+        timings.fetch = time.perf_counter() - t0
 
         if dump is not None:
             count = np.rint(fetched[3][: real_plan.num_frames]).astype(np.int64)
@@ -791,7 +797,7 @@ class SpeakerDiarizationPipeline:
                 dump=dump,
                 inactive=inactive_h,
             )
-            self.timings.clustering = time.perf_counter() - t0
+            timings.clustering = time.perf_counter() - t0
             return annotation
 
         # ---------- stage 3: clustering (host) + device post-step ----------
@@ -836,7 +842,7 @@ class SpeakerDiarizationPipeline:
             min_duration_on=seg_cfg.min_duration_on,
             min_duration_off=seg_cfg.min_duration_off,
         )
-        self.timings.clustering = time.perf_counter() - t0
+        timings.clustering = time.perf_counter() - t0
         return annotation
 
     def run_chunks(

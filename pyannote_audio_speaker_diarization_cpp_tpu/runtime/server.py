@@ -55,6 +55,11 @@ def build_pipeline(checkpoint=None, mesh=False, seg_batch=None, emb_batch=None):
     )
 
 
+class ServiceBusy(Exception):
+    """The dispatch lock was not acquired within the admission timeout —
+    the pipeline is wedged or overloaded; fail fast instead of queueing."""
+
+
 class DiarizationService:
     """Thread-safe wrapper: one pipeline, PIPELINED concurrent inference.
 
@@ -63,29 +68,53 @@ class DiarizationService:
     host clustering, post-step, decode) runs outside the lock — so while
     one request waits on its transfers, the next request's device compute
     is already queued, exactly like pipeline.map (docs/PERF.md measured
-    440+ audio-s/s aggregate vs ~350 for strictly serial requests)."""
+    440+ audio-s/s aggregate vs ~350 for strictly serial requests).
 
-    def __init__(self, pipeline):
+    Each request carries its OWN StageTimings (passed through
+    _dispatch/_collect), so concurrent requests never interleave their
+    attribution on the shared pipeline object.
+
+    ``admission_timeout``: seconds to wait for the dispatch lock before
+    raising ServiceBusy (503). A wedged device dispatch holds the lock, so
+    this bounds how long new requests can pile up behind it.
+    """
+
+    def __init__(self, pipeline, admission_timeout: float = 30.0):
         self.pipeline = pipeline
+        self.admission_timeout = admission_timeout
         self._lock = threading.Lock()
         self.requests = 0
 
     def diarize(self, wav_bytes: bytes, **bounds):
+        from ..pipelines.diarization import StageTimings
         from ..io import wav as wavio
 
         data = wavio.read_wav(io.BytesIO(wav_bytes))
         waveform = data.normalized_mono()
+        timings = StageTimings()
         t0 = time.perf_counter()
-        with self._lock:
-            pending = self.pipeline._dispatch(waveform, data.sample_rate)
+        if not self._lock.acquire(timeout=self.admission_timeout):
+            raise ServiceBusy(
+                f"dispatch queue stalled for {self.admission_timeout:.0f}s"
+            )
+        try:
+            pending = self.pipeline._dispatch(
+                waveform, data.sample_rate, timings=timings
+            )
             self.requests += 1
-        annotation = self.pipeline._collect(pending, **bounds)
+        finally:
+            self._lock.release()
+        annotation = self.pipeline._collect(pending, timings=timings, **bounds)
         wall = time.perf_counter() - t0
         return annotation, data.num_samples / data.sample_rate, wall
 
 
-def make_handler(service: DiarizationService):
+def make_handler(service: DiarizationService, max_request_bytes: int = 256 << 20):
     class Handler(BaseHTTPRequestHandler):
+        # socket read timeout: a client that stops sending mid-body cannot
+        # hold a handler thread forever
+        timeout = 60
+
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
@@ -118,6 +147,18 @@ def make_handler(service: DiarizationService):
                 return int(query[name][0]) if name in query else None
 
             length = int(self.headers.get("Content-Length", 0))
+            if length > max_request_bytes:
+                # refuse before reading the body into memory
+                self._send(
+                    413,
+                    json.dumps(
+                        {
+                            "error": "request too large",
+                            "max_bytes": max_request_bytes,
+                        }
+                    ).encode(),
+                )
+                return
             body = self.rfile.read(length)
             try:
                 annotation, audio_s, wall_s = service.diarize(
@@ -126,6 +167,9 @@ def make_handler(service: DiarizationService):
                     min_speakers=q_int("min_speakers"),
                     max_speakers=q_int("max_speakers"),
                 )
+            except ServiceBusy as exc:
+                self._send(503, json.dumps({"error": str(exc)}).encode())
+                return
             except Exception as exc:  # malformed wav etc.
                 self._send(400, json.dumps({"error": str(exc)}).encode())
                 return
@@ -156,8 +200,15 @@ def make_handler(service: DiarizationService):
     return Handler
 
 
-def serve(service: DiarizationService, host="127.0.0.1", port=8787):
-    server = ThreadingHTTPServer((host, port), make_handler(service))
+def serve(
+    service: DiarizationService,
+    host="127.0.0.1",
+    port=8787,
+    max_request_bytes: int = 256 << 20,
+):
+    server = ThreadingHTTPServer(
+        (host, port), make_handler(service, max_request_bytes)
+    )
     return server
 
 
@@ -169,6 +220,20 @@ def main(argv=None) -> int:
     parser.add_argument("--mesh", action="store_true", help="shard over all devices")
     parser.add_argument("--seg-batch", type=int, default=None)
     parser.add_argument("--emb-batch", type=int, default=None)
+    parser.add_argument(
+        "--max-request-mb",
+        type=int,
+        default=256,
+        help="reject request bodies larger than this (HTTP 413) before "
+        "reading them into memory",
+    )
+    parser.add_argument(
+        "--admission-timeout",
+        type=float,
+        default=30.0,
+        help="seconds a request may wait for the dispatch slot before "
+        "failing fast with HTTP 503 (guards against a wedged device)",
+    )
     parser.add_argument(
         "--warmup",
         type=float,
@@ -183,8 +248,10 @@ def main(argv=None) -> int:
     if args.warmup > 0:
         warmed = pipeline.warmup(args.warmup)
         print(f"warmed {len(warmed)} chunk buckets (up to {args.warmup:.0f} s audio)")
-    service = DiarizationService(pipeline)
-    server = serve(service, args.host, args.port)
+    service = DiarizationService(pipeline, admission_timeout=args.admission_timeout)
+    server = serve(
+        service, args.host, args.port, max_request_bytes=args.max_request_mb << 20
+    )
     print(f"serving on http://{args.host}:{args.port} (POST /diarize)")
     server.serve_forever()
     return 0

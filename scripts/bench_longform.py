@@ -83,15 +83,17 @@ def bench_longform(hours: float, num_shards: int):
 
 
 def bench_native_ahc(full: bool = False):
-    """Measured once on the bench host (full sweep, 192-d unit vectors):
-        N=2000:  native 2.2 s | scipy 0.25 s | numpy 4.95 s
-        N=10000: native 232 s | scipy 10.9 s
-        N=20000: native 758 s | scipy 45.2 s
-    scipy's NN-chain wins decisively on high-dimensional embeddings (the
-    native lazy-revalidation scheme degrades as merges invalidate
-    candidates); clustering.ahc's "auto" therefore prefers scipy. The
-    default run keeps to N=2000 (the full sweep is ~17 min); pass
-    --full-ahc to re-measure everything."""
+    """Measured on the bench host, round-3 rewrite (192-d unit vectors;
+    runtime/native/sdtpu_native.cc header):
+        N=2000:  native 0.26 s | scipy 0.92 s   (3.5x)
+        N=10000: native 7.0 s  | scipy 10.8 s   (1.5x)
+        N=20000: native 42 s   | scipy 40 s     (par)
+    The rewritten native backend runs scipy's own fast_linkage recurrence
+    with OpenMP-parallel pdist/update loops and exact scipy merge parity;
+    clustering.ahc's "auto" therefore prefers native for centroid linkage
+    at N >= 256 (below that, ctypes/setup overhead dominates and scipy
+    wins). The default run keeps to N=2000; pass --full-ahc to re-measure
+    everything."""
     from pyannote_audio_speaker_diarization_cpp_tpu.clustering import ahc
 
     rng = np.random.default_rng(0)

@@ -420,3 +420,71 @@ def test_onnx_packed_fields_decode(tmp_path):
         f.write(_pb_model([msg2], []))
     inits, _ = ingest.read_onnx_model(path)
     np.testing.assert_array_equal(inits["packed_i"], np.array([7, 8, 9, 10]))
+
+
+# ---------------------------------------------------------------------------
+# security / robustness (ADVICE round 3)
+# ---------------------------------------------------------------------------
+
+PWNED = []
+
+
+class _EvilReduce:
+    """Pickles to a REDUCE of builtins.eval — the classic pickle-RCE shape a
+    crafted third-party checkpoint would carry."""
+
+    def __reduce__(self):
+        return (eval, ("__import__('test_ingest').PWNED.append('rce')",))
+
+
+def test_malicious_checkpoint_loads_inertly(tmp_path):
+    """A checkpoint whose pickle resolves builtins.eval/exec/getattr must
+    load WITHOUT executing anything: dangerous builtins become stubs, the
+    tensors still come through."""
+    sd = {"layer.weight": torch.randn(2, 2)}
+    ckpt = {"state_dict": sd, "payload": _EvilReduce()}
+    path = str(tmp_path / "evil.ckpt")
+    torch.save(ckpt, path)
+
+    PWNED.clear()
+    loaded = ingest.read_torch_checkpoint(path)
+    assert PWNED == []  # eval never ran
+    assert isinstance(loaded["payload"], ingest._Stub)
+    np.testing.assert_array_equal(
+        loaded["state_dict"]["layer.weight"], sd["layer.weight"].numpy()
+    )
+
+
+def test_safe_builtins_still_resolve(tmp_path):
+    """The data-container builtins (set/frozenset/complex/bytearray/slice)
+    that real checkpoints legitimately reference keep loading as values."""
+    ckpt = {
+        "state_dict": {"w": torch.zeros(1)},
+        "tags": {"a", "b"},
+        "frozen": frozenset([1, 2]),
+        "z": complex(1, 2),
+        "buf": bytearray(b"xy"),
+        "sl": slice(1, 5, 2),
+    }
+    path = str(tmp_path / "containers.ckpt")
+    torch.save(ckpt, path)
+    loaded = ingest.read_torch_checkpoint(path)
+    assert loaded["tags"] == {"a", "b"}
+    assert loaded["frozen"] == frozenset([1, 2])
+    assert loaded["z"] == complex(1, 2)
+    assert loaded["buf"] == bytearray(b"xy")
+    assert loaded["sl"] == slice(1, 5, 2)
+
+
+def test_onnx_negative_int64_data_field(tmp_path):
+    """int64_data varints encode negatives as 64-bit two's complement; a
+    Reshape shape of [-1, 192] in int64_data (not raw_data) must decode."""
+    vals = [-1, 192, -(2**40)]
+    msg = _pb_field(1, 0, _pb_varint(3))  # dims [3]
+    msg += _pb_field(2, 0, _pb_varint(7))  # INT64
+    msg += _pb_field(8, 2, b"shape")
+    for v in vals:
+        msg += _pb_field(7, 0, _pb_varint(v & 0xFFFFFFFFFFFFFFFF))
+    name, arr = ingest._parse_tensor_proto(msg)
+    assert name == "shape"
+    np.testing.assert_array_equal(arr, np.asarray(vals, dtype=np.int64))

@@ -116,3 +116,89 @@ def test_pipeline_warmup_compiles_buckets(tiny1s_pipeline):
     rng = np.random.default_rng(3)
     ann = tiny1s_pipeline((0.1 * rng.normal(size=4 * 16000)).astype(np.float32))
     assert ann is not None
+
+
+def test_request_size_cap(tiny1s_pipeline):
+    """Bodies over max_request_bytes are refused with 413 BEFORE being read
+    into memory."""
+    service = DiarizationService(tiny1s_pipeline)
+    server = serve(service, host="127.0.0.1", port=0, max_request_bytes=1024)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        req = urllib.request.Request(f"{url}/diarize", data=b"x" * 2048)
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req)
+        assert err.value.code == 413
+        # a small (if malformed) body still reaches the wav parser (400)
+        req = urllib.request.Request(f"{url}/diarize", data=b"small")
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req)
+        assert err.value.code == 400
+    finally:
+        server.shutdown()
+
+
+def test_admission_timeout_fails_fast(tiny1s_pipeline):
+    """When the dispatch slot is wedged, new requests get 503 within the
+    admission timeout instead of queueing forever."""
+    service = DiarizationService(tiny1s_pipeline, admission_timeout=0.2)
+    server = serve(service, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    service._lock.acquire()  # simulate a wedged dispatch
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        req = urllib.request.Request(f"{url}/diarize", data=_wav_bytes())
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req)
+        assert err.value.code == 503
+    finally:
+        service._lock.release()
+        server.shutdown()
+
+
+def test_concurrent_load_throughput_and_memory(server_url):
+    """N simultaneous requests: aggregate wall time must beat N sequential
+    requests (the pipelined overlap), every response must be valid, and RSS
+    must stay bounded (no per-request leak)."""
+    import resource
+    import time as _time
+
+    payloads = [_wav_bytes(seconds=3, seed=100 + s) for s in range(6)]
+
+    def post(body):
+        req = urllib.request.Request(f"{server_url}/diarize", data=body)
+        with urllib.request.urlopen(req) as r:
+            return json.load(r)
+
+    # warm all shapes + measure sequential wall
+    t0 = _time.perf_counter()
+    for b in payloads:
+        post(b)
+    sequential_wall = _time.perf_counter() - t0
+
+    rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+
+    results = [None] * len(payloads)
+
+    def worker(i):
+        results[i] = post(payloads[i])
+
+    t0 = _time.perf_counter()
+    threads = [
+        threading.Thread(target=worker, args=(i,)) for i in range(len(payloads))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    concurrent_wall = _time.perf_counter() - t0
+
+    assert all(r is not None and "turns" in r for r in results)
+    # aggregate throughput >= sequential (generous slack for CI noise)
+    assert concurrent_wall <= sequential_wall * 1.5
+    # bounded memory: 6 requests of 3 s audio must not grow RSS by > 512 MB
+    rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert (rss_after - rss_before) < 512 * 1024  # ru_maxrss is in KB on linux
