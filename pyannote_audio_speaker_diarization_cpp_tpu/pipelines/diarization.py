@@ -181,6 +181,19 @@ class SpeakerDiarizationPipeline:
         pyannet_cfg: Optional[pyannet_mod.PyanNetConfig] = None,
         ecapa_cfg: Optional[ecapa_mod.EcapaConfig] = None,
         profile: bool = False,
+        # On-device clustering (clustering/device.py): stage 3 runs FUSED on
+        # the chip after stage 2, so a request needs ONE device->host fetch
+        # (final activations + count) instead of two structural sync round
+        # trips (embeddings out, membership back). "auto" (default) uses it
+        # whenever the request is eligible — default AHC recipe (centroid/
+        # cosine, unconstrained), no explicit speaker bounds, and at most
+        # ``device_cluster_rows`` embedding rows (~2.8 min of audio; longer
+        # audio and every ineligible/failed case takes the host path, which
+        # remains the oracle). False disables; True requires a compatible
+        # clusterer.
+        device_clustering: Union[str, bool] = "auto",
+        device_cluster_rows: int = 1024,
+        k_max: int = 8,
     ):
         self.config = config
         # model-architecture overrides (converted checkpoints with non-recipe
@@ -241,6 +254,20 @@ class SpeakerDiarizationPipeline:
         self.exact_orphan = exact_orphan
         self.profile = profile
         self.timings = StageTimings()
+        self.k_max = k_max
+        self.device_cluster_rows = device_cluster_rows
+        compatible = (
+            isinstance(self.clusterer, AgglomerativeClustering)
+            and self.clusterer.config.method == "centroid"
+            and self.clusterer.config.metric == "cosine"
+            and not self.clusterer.constrained_assignment
+        )
+        if device_clustering is True and not compatible:
+            raise ValueError(
+                "device_clustering=True requires the default agglomerative "
+                "clusterer (centroid linkage, cosine metric, unconstrained)"
+            )
+        self._device_clu_enabled = bool(device_clustering) and compatible
         self._build_steps()
 
     # ------------------------------------------------------------------
@@ -260,12 +287,19 @@ class SpeakerDiarizationPipeline:
                 self.frontend_backend,
                 self.exact_orphan,
                 id(self.mesh) if self.mesh is not None else None,
+                self._device_clu_key(),
             )
             cached = _STEP_CACHE.get(cache_key)
         except TypeError:  # unhashable config (e.g. list-valued channels)
             cached = None
         if cached is not None:
-            self._stage1, self._stage2, self._stage2_debug, self._post = cached
+            (
+                self._stage1,
+                self._stage2,
+                self._stage2_debug,
+                self._post,
+                self._stage3,
+            ) = cached
             return
         cfg = self.config
         seg_cfg = cfg.segmentation
@@ -498,17 +532,89 @@ class SpeakerDiarizationPipeline:
         # one jitted dispatch per stage — on a mesh the shard_rows/replicate
         # constraints inside make XLA split each batch across chips and
         # allgather the stage outputs (device-major DP, no host loop)
+        # stage 3 fused on device (clustering/device.py): embeddings ->
+        # AHC -> centroid assignment -> per-cluster max + overlap-add, all
+        # in one dispatch chained after stage 2; the host then fetches ONLY
+        # the (frames, k_max) activations + scalars. Threshold/min-size come
+        # from the clusterer's own config (== the recipe defaults unless the
+        # caller customized them).
+        clu_threshold, clu_mcs = self._device_clu_key() or (0.0, 0)
+        k_max = self.k_max
+
+        def stage3(segs, emb, too_short, inactive, start_frames, num_frames):
+            from ..clustering import device as devclu
+
+            n, F, S = segs.shape
+            res = devclu.device_cluster(
+                emb.astype(jnp.float32),
+                ~too_short,
+                inactive.reshape(-1),
+                clu_threshold,
+                clu_mcs,
+                k_max,
+            )
+            hard = res.hard.reshape(n, S)
+            membership = (hard[:, :, None] == jnp.arange(k_max)[None, None, :]) & (
+                hard >= 0
+            )[:, :, None]
+            masked = jnp.where(membership[:, None, :, :], segs[..., None], -jnp.inf)
+            clustered = jnp.max(masked, axis=2)  # (n, F, K)
+            has = jnp.any(membership, axis=1)[:, None, :]
+            clustered = jnp.where(has, clustered, jnp.nan)
+            activations = agg_aggregate(
+                clustered, start_frames, num_frames, missing=0.0, skip_average=True
+            )
+            return activations.astype(jnp.float16), res.hard, res.num_large
+
         self._stage1 = jax.jit(stage1)
         self._stage2 = jax.jit(stage2)
         self._stage2_debug = jax.jit(stage2_debug)
         self._post = jax.jit(post_process)
+        self._stage3 = jax.jit(stage3, static_argnums=(5,))
         if cache_key is not None:
             _STEP_CACHE[cache_key] = (
                 self._stage1,
                 self._stage2,
                 self._stage2_debug,
                 self._post,
+                self._stage3,
             )
+
+    def _device_clu_key(self):
+        """(threshold, min_cluster_size) when on-device clustering is
+        enabled and the clusterer is compatible, else None. Part of the
+        step-cache key (stage 3 compiles these in)."""
+        if not getattr(self, "_device_clu_enabled", False):
+            return None
+        c = self.clusterer.config
+        return (c.threshold, c.min_cluster_size)
+
+    def _device_clu_eligible(
+        self, rows: int, num_speakers, min_speakers, max_speakers
+    ) -> bool:
+        """Static per-request eligibility for the fused device stage 3.
+
+        Explicit speaker bounds take the host path (the known-num_clusters
+        dendrogram search, clustering/base.py cluster()); row counts above
+        the cap take the host path (which also implements the pyannote
+        1000-embedding subsample, Clustering.py:69-76)."""
+        if not self._device_clu_enabled or rows > self.device_cluster_rows:
+            return False
+        cfg = self.config
+        if any(
+            b is not None
+            for b in (
+                num_speakers,
+                min_speakers,
+                max_speakers,
+                cfg.num_speakers,
+                cfg.min_speakers,
+                cfg.max_speakers,
+            )
+        ):
+            return False
+        cap = self.clusterer.max_num_embeddings
+        return cap is None or rows <= cap
 
     def chunk_lattice(self, num_chunks: int) -> int:
         """Padded chunk count: the batch lattice keeps jit shapes static,
@@ -564,7 +670,13 @@ class SpeakerDiarizationPipeline:
         """``dump``: optional utils.debug_dump.DumpSession recording the
         canonical pipeline intermediates under the reference's names
         (SURVEY.md section 4.3 checklist) for differential verification."""
-        pending = self._dispatch(audio, sample_rate)
+        pending = self._dispatch(
+            audio,
+            sample_rate,
+            num_speakers=num_speakers,
+            min_speakers=min_speakers,
+            max_speakers=max_speakers,
+        )
         return self._collect(
             pending,
             num_speakers=num_speakers,
@@ -590,7 +702,16 @@ class SpeakerDiarizationPipeline:
         processes files strictly one at a time). Device memory per
         in-flight request is a few MB of stage outputs — the 80000-sample
         window tensors are jit-internal and freed at dispatch end."""
-        pendings = [self._dispatch(a, sample_rate) for a in audios]
+        pendings = [
+            self._dispatch(
+                a,
+                sample_rate,
+                num_speakers=num_speakers,
+                min_speakers=min_speakers,
+                max_speakers=max_speakers,
+            )
+            for a in audios
+        ]
         return [
             self._collect(
                 p,
@@ -633,10 +754,20 @@ class SpeakerDiarizationPipeline:
                 )
             )
             jax.block_until_ready((pending["emb"], pending["count_raw"]))
+            if pending.get("device_clu") is not None:
+                jax.block_until_ready(tuple(pending["device_clu"].values()))
             warmed.append(npad)
         return warmed
 
-    def _dispatch(self, audio, sample_rate=None, timings: Optional[StageTimings] = None):
+    def _dispatch(
+        self,
+        audio,
+        sample_rate=None,
+        timings: Optional[StageTimings] = None,
+        num_speakers=None,
+        min_speakers=None,
+        max_speakers=None,
+    ):
         """Host prep + BOTH async device-stage dispatches for one request;
         returns the pending state _collect needs. No device sync happens
         here. ``timings`` overrides the shared ``self.timings`` sink so
@@ -693,6 +824,27 @@ class SpeakerDiarizationPipeline:
         # fetches so its device compute overlaps the host transfers) ----------
         emb, too_short = self._stage2(self.params["embedding"], wav_dev, chosen)
 
+        # ---------- stage 3 on device (eligible requests): clustering +
+        # post-aggregation chained after stage 2 — the request then needs
+        # only ONE combined fetch in _collect ----------
+        device_clu = None
+        rows = num_padded * seg_cfg.num_speakers
+        if self._device_clu_eligible(rows, num_speakers, min_speakers, max_speakers):
+            dia_plan = self._diarization_plan(num_padded)
+            act_dev, hard_dev, num_large_dev = self._stage3(
+                segmentations,
+                emb,
+                too_short,
+                inactive,
+                jnp.asarray(dia_plan.start_frames),
+                dia_plan.num_frames,
+            )
+            device_clu = {
+                "activations": act_dev,
+                "hard": hard_dev,
+                "num_large": num_large_dev,
+            }
+
         # the count grid for the real chunk count is a prefix of the padded
         # grid (same start/step; NaN-masked padding contributes nothing)
         real_plan = self._count_plan(num_chunks)
@@ -721,6 +873,7 @@ class SpeakerDiarizationPipeline:
             "chunk_frames": chunk_frames,
             "real_plan": real_plan,
             "count_frames": count_frames,
+            "device_clu": device_clu,
         }
 
     def _collect(
@@ -749,6 +902,47 @@ class SpeakerDiarizationPipeline:
         chunk_frames = pending["chunk_frames"]
         real_plan = pending["real_plan"]
         count_frames = pending["count_frames"]
+
+        # ---------- fused device path: ONE fetch of the final activations
+        # + count; no embeddings travel, no membership upload ----------
+        bounds_given = any(
+            b is not None for b in (num_speakers, min_speakers, max_speakers)
+        )
+        if (
+            pending.get("device_clu") is not None
+            and dump is None
+            and not bounds_given
+        ):
+            dc = pending["device_clu"]
+            t0 = time.perf_counter()
+            act_h, nl_h, count_h = jax.device_get(
+                (dc["activations"], dc["num_large"], count_raw)
+            )
+            timings.fetch = time.perf_counter() - t0
+            num_clusters = int(nl_h)
+            if 1 <= num_clusters <= self.k_max:
+                t0 = time.perf_counter()
+                real_dia_plan = self._diarization_plan(num_chunks)
+                activations = np.asarray(act_h, dtype=np.float32)[
+                    : real_dia_plan.num_frames, :num_clusters
+                ]
+                count = np.rint(count_h[: real_plan.num_frames]).astype(np.int64)
+                binary, binary_frames = rec.binarize_by_count(
+                    activations, real_dia_plan.frames, count, count_frames
+                )
+                annotation = rec.to_annotation(
+                    binary,
+                    binary_frames,
+                    onset=self.config.clustering.binarize_onset,
+                    offset=self.config.clustering.binarize_offset,
+                    min_duration_on=seg_cfg.min_duration_on,
+                    min_duration_off=seg_cfg.min_duration_off,
+                )
+                timings.clustering = time.perf_counter() - t0
+                return annotation
+            # num_large == 0 (the host dendrogram search must run) or
+            # > k_max: fall through to the host path below — embeddings are
+            # still resident on device, this just pays an extra round trip
 
         # fetch ONLY what host clustering needs (embeddings are the bulk:
         # N x 192 f16). The full segmentations tensor (390 KB for the 59 s

@@ -99,7 +99,7 @@ class DiarizationService:
             )
         try:
             pending = self.pipeline._dispatch(
-                waveform, data.sample_rate, timings=timings
+                waveform, data.sample_rate, timings=timings, **bounds
             )
             self.requests += 1
         finally:

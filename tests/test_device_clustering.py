@@ -1,0 +1,237 @@
+"""On-device clustering (clustering/device.py + the fused pipeline stage 3).
+
+The host AHC stack (clustering/ahc.py + clustering/base.py, itself
+scipy-parity-tested in test_clustering.py) is the oracle throughout: the
+device path must produce PARTITION-EQUAL assignments (cluster numbering is
+documented as partition-equivalent, not identical) and the fused pipeline
+path must produce the same turns as the host path.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from _cfg import make_tiny1s_pipeline
+
+from pyannote_audio_speaker_diarization_cpp_tpu.clustering.base import (
+    AgglomerativeClustering,
+)
+from pyannote_audio_speaker_diarization_cpp_tpu.clustering.device import (
+    device_cluster,
+)
+from pyannote_audio_speaker_diarization_cpp_tpu.config import ClusteringConfig
+
+THRESHOLD = ClusteringConfig().threshold
+jit_cluster = jax.jit(device_cluster, static_argnums=(3, 4, 5))
+
+
+def _host_hard(emb3, nanmask):
+    clu = AgglomerativeClustering(ClusteringConfig())
+    hard, _ = clu(emb3)
+    hard = np.asarray(hard)
+    hard[nanmask] = -2
+    return hard.reshape(-1)
+
+
+def _device_hard(emb3, nanmask, k_max=8):
+    C, S, d = emb3.shape
+    flat = np.nan_to_num(emb3.reshape(-1, d)).astype(np.float32)
+    valid = ~nanmask.reshape(-1)
+    res = jit_cluster(
+        jnp.asarray(flat),
+        jnp.asarray(valid),
+        jnp.asarray(~valid),
+        THRESHOLD,
+        15,
+        k_max,
+    )
+    return np.asarray(res.hard), int(res.num_large)
+
+
+def _partitions_equal(a, b):
+    """Same partition up to a label bijection (on rows where both >= 0;
+    the -2 rows must match exactly)."""
+    if not np.array_equal(a < 0, b < 0):
+        return False
+    sel = a >= 0
+    fwd = {}
+    for x, y in zip(a[sel], b[sel]):
+        if fwd.setdefault(x, y) != y:
+            return False
+    return len(set(fwd.values())) == len(fwd)
+
+
+def _blob_embeddings(rng, num_chunks, K, dim=32, noise=0.05, nan_frac=0.1):
+    centers = rng.normal(size=(K, dim)) * 4
+    owner = rng.integers(0, K, size=(num_chunks, 3))
+    emb = centers[owner] + noise * rng.normal(size=(num_chunks, 3, dim))
+    nanmask = rng.random((num_chunks, 3)) < nan_frac
+    # device + host consume the same f16-rounded values (transfer_dtype)
+    emb = emb.astype(np.float16).astype(np.float64)
+    emb[nanmask] = np.nan
+    return emb, nanmask
+
+
+@pytest.mark.parametrize("trial", range(5))
+def test_partition_matches_host_separated_blobs(rng, trial):
+    r = np.random.default_rng(100 + trial)
+    K = int(r.integers(2, 6))
+    emb, nanmask = _blob_embeddings(r, int(r.integers(12, 50)), K)
+    host = _host_hard(emb, nanmask)
+    dev, num_large = _device_hard(emb, nanmask)
+    assert num_large == host.max() + 1
+    assert _partitions_equal(dev, host)
+
+
+def test_single_cluster_and_single_valid():
+    r = np.random.default_rng(3)
+    # everything merges into one cluster (random-weights-like)
+    emb = r.normal(size=(1, 48)) + 0.02 * r.normal(size=(18, 3, 48))
+    nm = np.zeros((18, 3), bool)
+    dev, num_large = _device_hard(emb, nm)
+    assert num_large == 1 and set(dev) == {0}
+    # exactly one valid embedding
+    emb = r.normal(size=(1, 3, 16))
+    nm = np.array([[False, True, True]])
+    emb[0, 1:] = np.nan
+    dev, num_large = _device_hard(emb, nm)
+    assert num_large == 1
+    assert dev[0] == 0 and (dev[1:] == -2).all()
+
+
+def test_small_cluster_reassigned_to_nearest_large(rng):
+    r = np.random.default_rng(11)
+    emb, nm = _blob_embeddings(r, 40, 2, noise=0.05, nan_frac=0.0)
+    # 4 outlier rows form a small (< min_cluster_size) far-away cluster
+    outlier = r.normal(size=32) * 5
+    for idx in [(0, 0), (1, 1), (2, 2), (3, 0)]:
+        emb[idx] = outlier + 0.05 * r.normal(size=32)
+    host = _host_hard(emb, nm)
+    dev, num_large = _device_hard(emb, nm)
+    assert num_large == host.max() + 1 == 2
+    assert _partitions_equal(dev, host)
+
+
+def test_num_large_zero_signals_fallback():
+    """Diffuse data where the threshold cut leaves only sub-min-size
+    clusters: the host runs the dendrogram search; the device path must
+    report num_large == 0 so the caller falls back."""
+    r = np.random.default_rng(5)
+    emb = r.normal(size=(30, 3, 48))
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)  # ~orthogonal: no merges
+    nm = np.zeros((30, 3), bool)
+    _, num_large = _device_hard(emb, nm)
+    assert num_large == 0
+
+
+def test_invalid_but_active_rows_get_cluster_zero():
+    """Host semantics: a NaN-embedding row that is NOT inactive gets
+    np.argmax over an all-NaN soft row == 0 (clustering/base.py
+    assign_embeddings); the device path reproduces it via the valid mask."""
+    r = np.random.default_rng(21)
+    emb, _ = _blob_embeddings(r, 20, 2, nan_frac=0.0)
+    flat = emb.reshape(-1, 32).astype(np.float32)
+    valid = np.ones(60, bool)
+    valid[5] = False  # too-short but active
+    inactive = np.zeros(60, bool)
+    res = jit_cluster(
+        jnp.asarray(np.nan_to_num(flat)),
+        jnp.asarray(valid),
+        jnp.asarray(inactive),
+        THRESHOLD,
+        15,
+        8,
+    )
+    hard = np.asarray(res.hard)
+    assert hard[5] == 0
+
+
+# ---------------------------------------------------------------------------
+# fused pipeline stage 3
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pipelines():
+    return (
+        make_tiny1s_pipeline(device_clustering="auto"),
+        make_tiny1s_pipeline(device_clustering=False),
+    )
+
+
+def _turns(ann):
+    return [(round(t.start, 4), round(t.end, 4), t.label) for t in ann.turns()]
+
+
+def test_pipeline_device_equals_host(pipelines):
+    p_dev, p_host = pipelines
+    for seconds, seed in [(3, 1), (5, 2), (6, 7)]:
+        wav = (
+            0.1 * np.random.default_rng(seed).normal(size=seconds * 16000)
+        ).astype(np.float32)
+        td, th = _turns(p_dev(wav)), _turns(p_host(wav))
+        assert [(s, e) for s, e, _ in td] == [(s, e) for s, e, _ in th]
+        assert _partitions_equal(
+            np.array([l for _, _, l in td]), np.array([l for _, _, l in th])
+        )
+
+
+def test_pipeline_bounds_take_host_path(pipelines):
+    """Explicit speaker bounds must dispatch WITHOUT the device stage 3
+    (the known-num_clusters dendrogram search is host-only) and still
+    produce the host answer."""
+    p_dev, p_host = pipelines
+    wav = (0.1 * np.random.default_rng(9).normal(size=4 * 16000)).astype(np.float32)
+    pending = p_dev._dispatch(wav, num_speakers=2)
+    assert pending["device_clu"] is None
+    ann = p_dev._collect(pending, num_speakers=2)
+    assert _turns(ann) == _turns(p_host(wav, num_speakers=2))
+
+
+def test_pipeline_rows_cap_takes_host_path():
+    p = make_tiny1s_pipeline(device_clustering="auto", device_cluster_rows=8)
+    wav = (0.1 * np.random.default_rng(2).normal(size=5 * 16000)).astype(np.float32)
+    pending = p._dispatch(wav)
+    assert pending["device_clu"] is None  # rows > cap
+    assert p._collect(pending) is not None
+
+
+def test_incompatible_clusterer_raises():
+    with pytest.raises(ValueError):
+        make_tiny1s_pipeline(
+            device_clustering=True, clusterer="spectral"
+        )
+
+
+def test_stage3_activations_match_post_cluster(pipelines):
+    """The fused stage-3 aggregation must equal the host-path flow
+    (_post_cluster driven by the device-computed hard labels)."""
+    import pyannote_audio_speaker_diarization_cpp_tpu.pipelines.diarization as D
+
+    p_dev, _ = pipelines
+    wav = (0.1 * np.random.default_rng(13).normal(size=5 * 16000)).astype(
+        np.float32
+    )
+    pending = p_dev._dispatch(wav)
+    dc = pending["device_clu"]
+    assert dc is not None
+    hard = np.asarray(dc["hard"]).reshape(pending["num_padded"], -1)
+    num_large = int(dc["num_large"])
+    assert num_large >= 1
+    k_pad = p_dev.k_max
+    membership = np.zeros((pending["num_padded"], hard.shape[1], k_pad), bool)
+    ci, si = np.nonzero(hard >= 0)
+    membership[ci, si, hard[ci, si]] = True
+    plan = p_dev._diarization_plan(pending["num_padded"])
+    ref = D._post_cluster(
+        pending["segmentations"],
+        jnp.asarray(membership),
+        jnp.asarray(plan.start_frames),
+        plan.num_frames,
+    )
+    got = np.asarray(dc["activations"], np.float32)
+    np.testing.assert_allclose(got, np.asarray(ref), atol=2e-3)
