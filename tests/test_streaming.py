@@ -86,3 +86,100 @@ def test_streaming_incremental_clustering(tiny_pipeline):
     assert len(stream.feed_latencies) == emitted
     assert all(t > 0 for t in stream.feed_latencies)
     assert str(final) == str(tiny_pipeline(audio))
+
+
+def test_running_count_grids_bitwise_equal_oneshot(tiny_pipeline):
+    """The running numerator/denominator grids must equal the one-shot
+    speaker_count aggregation BITWISE at every emission (np.add.at applies
+    additions in index order; batches arrive in chunk order)."""
+    from pyannote_audio_speaker_diarization_cpp_tpu.core.sliding_window import (
+        SlidingWindow,
+    )
+    from pyannote_audio_speaker_diarization_cpp_tpu.pipelines import (
+        reconstruct as rec,
+    )
+
+    stream = StreamingDiarizer(tiny_pipeline, emit_every=2)
+    audio = _audio(9 * 16000, seed=31)
+    seg = tiny_pipeline.config.segmentation
+    checks = 0
+    for block in np.array_split(audio, 7):
+        if stream.feed(block) is None:
+            continue
+        binz = np.concatenate(stream._binarized, axis=0)
+        covered = (stream._done_chunks - 1) * seg.step_size + seg.window_size
+        ns = min(stream.total_samples, covered)
+        chunk_frames = SlidingWindow(0.0, seg.step, seg.duration, num_samples=ns)
+        frame_grid = SlidingWindow(
+            seg.frame_start, seg.frame_step, seg.frame_duration
+        )
+        count, _ = rec.speaker_count(
+            binz, chunk_frames, frame_grid, ns, warm_up=seg.warm_up
+        )
+        eps = float(np.finfo(np.float64).eps)
+        num = stream._count_num.view()[:, 0]
+        den = stream._count_den.view()[:, 0]
+        mine = np.rint(
+            np.where(den == 0.0, 0.0, num / np.maximum(den, eps))
+        ).astype(np.int64)
+        assert len(mine) == len(count)
+        np.testing.assert_array_equal(mine, count)
+        checks += 1
+    assert checks >= 2
+
+
+def test_recluster_emissions_match_always_recluster_stream(tiny_pipeline):
+    """Emissions where the full recluster runs must equal the corresponding
+    emission of a recluster-every-time stream (same chunk state, fresh grid
+    rebuild) — pins the incremental grid rebuild against the always-full
+    path."""
+    audio = _audio(12 * 16000, seed=33)
+    blocks = np.array_split(audio, 10)
+
+    def run(recluster_every):
+        stream = StreamingDiarizer(
+            tiny_pipeline, emit_every=2, recluster_every=recluster_every
+        )
+        out = []
+        for b in blocks:
+            ann = stream.feed(b)
+            out.append(None if ann is None else str(ann))
+        out.append(str(stream.flush()))
+        return out
+
+    always = run(1)
+    mixed = run(2)
+    assert len(always) == len(mixed)
+    emit_idx = -1
+    for a, m in zip(always[:-1], mixed[:-1]):
+        assert (a is None) == (m is None)
+        if a is None:
+            continue
+        emit_idx += 1
+        if emit_idx % 2 == 0:  # recluster emissions of the mixed stream
+            assert m == a
+    assert mixed[-1] == always[-1]  # flush always reclusters
+
+
+def test_incremental_emission_cost_does_not_scale_with_history(tiny_pipeline):
+    """The O(N^2) concatenate-everything emission of round 3 is gone: an
+    incremental emission must fold only the NEW batches."""
+    stream = StreamingDiarizer(tiny_pipeline, emit_every=2, recluster_every=10**9)
+    folded_per_emit = []
+    orig = stream._fold_batch
+    calls = [0]
+
+    def counting_fold(idx, hard):
+        calls[0] += 1
+        return orig(idx, hard)
+
+    stream._fold_batch = counting_fold
+    audio = _audio(14 * 16000, seed=35)
+    for b in np.array_split(audio, 12):
+        before = calls[0]
+        if stream.feed(b) is not None:
+            folded_per_emit.append(calls[0] - before)
+    assert len(folded_per_emit) >= 4
+    # first emission reclusters (folds everything so far == 1 batch); later
+    # incremental emissions each fold exactly the one new batch
+    assert all(n == 1 for n in folded_per_emit)
