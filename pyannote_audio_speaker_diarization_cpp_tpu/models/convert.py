@@ -208,6 +208,90 @@ def pyannet_from_pyannote(state_dict: Mapping, cfg: PyanNetConfig = PyanNetConfi
     }
 
 
+# ---------------------------------------------------------------------------
+# inverse converters: pytree -> published torch state-dict layouts
+# (the export direction of the reference's offline layer — lets weights
+# trained or fine-tuned HERE be consumed by pyannote/speechbrain tooling,
+# and drives the independent torch oracles in tests/twin_oracle.py)
+# ---------------------------------------------------------------------------
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+def ecapa_to_speechbrain(params: Dict) -> Dict[str, np.ndarray]:
+    """Inverse of ``ecapa_from_speechbrain``: our ECAPA pytree -> the
+    spkrec-ecapa-voxceleb embedding_model state-dict key layout."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_conv(prefix, p):
+        sd[f"{prefix}.weight"] = _np(p["weight"])
+        if "bias" in p:
+            sd[f"{prefix}.bias"] = _np(p["bias"])
+
+    def put_bn(prefix, p):
+        for k in ("weight", "bias", "running_mean", "running_var"):
+            sd[f"{prefix}.{k}"] = _np(p[k])
+
+    def put_tdnn(prefix, p):
+        put_conv(f"{prefix}.conv.conv", p["conv"])
+        put_bn(f"{prefix}.norm.norm", p["bn"])
+
+    put_tdnn("blocks.0", params["block0"])
+    for i in (1, 2, 3):
+        blk = params[f"block{i}"]
+        put_tdnn(f"blocks.{i}.tdnn1", blk["tdnn1"])
+        for j, sub in enumerate(blk["res2net"]["blocks"]):
+            put_tdnn(f"blocks.{i}.res2net_block.blocks.{j}", sub)
+        put_tdnn(f"blocks.{i}.tdnn2", blk["tdnn2"])
+        put_conv(f"blocks.{i}.se_block.conv1.conv", blk["se"]["conv1"])
+        put_conv(f"blocks.{i}.se_block.conv2.conv", blk["se"]["conv2"])
+    put_tdnn("mfa", params["mfa"])
+    put_tdnn("asp.tdnn", params["asp"]["tdnn"])
+    put_conv("asp.conv.conv", params["asp"]["conv"])
+    put_bn("asp_bn.norm", params["asp_bn"])
+    put_conv("fc.conv", params["fc"])
+    return sd
+
+
+def pyannet_to_pyannote(params: Dict) -> Dict[str, np.ndarray]:
+    """Inverse of ``pyannet_from_pyannote``: our PyanNet pytree -> the
+    pyannote/segmentation state-dict key layout. Requires parametric sinc
+    filters (a pytree ingested from a constant-folded ONNX export carries
+    baked ``filters`` and cannot round-trip)."""
+    sn = params["sincnet"]
+    if "low_hz" not in sn["sinc"]:
+        raise ValueError(
+            "pytree carries baked sinc filters (no low_hz/band_hz); "
+            "cannot export to the parametric pyannote layout"
+        )
+    sd: Dict[str, np.ndarray] = {
+        "sincnet.wav_norm1d.weight": _np(sn["wav_norm"]["weight"]),
+        "sincnet.wav_norm1d.bias": _np(sn["wav_norm"]["bias"]),
+        "sincnet.conv1d.0.low_hz_": _np(sn["sinc"]["low_hz"]),
+        "sincnet.conv1d.0.band_hz_": _np(sn["sinc"]["band_hz"]),
+    }
+    for i, name in ((0, "norm0"), (1, "norm1"), (2, "norm2")):
+        sd[f"sincnet.norm1d.{i}.weight"] = _np(sn[name]["weight"])
+        sd[f"sincnet.norm1d.{i}.bias"] = _np(sn[name]["bias"])
+    for i, name in ((1, "conv1"), (2, "conv2")):
+        sd[f"sincnet.conv1d.{i}.weight"] = _np(sn[name]["weight"])
+        sd[f"sincnet.conv1d.{i}.bias"] = _np(sn[name]["bias"])
+    for i, layer in enumerate(params["lstm"]):
+        for tag, half in (("", layer["fwd"]), ("_reverse", layer["bwd"])):
+            sd[f"lstm.weight_ih_l{i}{tag}"] = _np(half["weight_ih"])
+            sd[f"lstm.weight_hh_l{i}{tag}"] = _np(half["weight_hh"])
+            sd[f"lstm.bias_ih_l{i}{tag}"] = _np(half["bias_ih"])
+            sd[f"lstm.bias_hh_l{i}{tag}"] = _np(half["bias_hh"])
+    for i, lin in enumerate(params["linear"]):
+        sd[f"linear.{i}.weight"] = _np(lin["weight"])
+        sd[f"linear.{i}.bias"] = _np(lin["bias"])
+    sd["classifier.weight"] = _np(params["classifier"]["weight"])
+    sd["classifier.bias"] = _np(params["classifier"]["bias"])
+    return sd
+
+
 def random_params(seed: int = 0) -> Dict:
     """Random-weight parameter set (no pretrained checkpoints ship with this
     repo; use the converters above with your own torch checkpoints)."""
