@@ -491,6 +491,13 @@ def pyannet_from_onnx(path: str, cfg: PyanNetConfig = PyanNetConfig()) -> Dict:
     filters (models/pyannet.py sinc_filters short-circuits on "filters").
     LSTM weights come back from ONNX LSTM nodes with the [i,o,f,c] ->
     [i,f,g,o] gate reorder undone.
+
+    nn.Linear layers export as MatMul+Add with the WEIGHT initializer
+    renamed (``onnx::MatMul_N``) and transposed, while the BIAS keeps its
+    state-dict name — verified against real ``torch.onnx.export`` output
+    (tests/test_ingest_authentic.py); the linear stack and classifier are
+    recovered by anchoring each surviving ``*.bias`` to the MatMul feeding
+    its Add node.
     """
     from .convert import pyannet_from_pyannote
 
@@ -499,6 +506,51 @@ def pyannet_from_onnx(path: str, cfg: PyanNetConfig = PyanNetConfig()) -> Dict:
 
     have_sinc_params = any(k.endswith("low_hz_") for k in sd)
     have_lstm_params = "lstm.weight_ih_l0" in sd
+
+    # recover MatMul-folded linear weights via their preserved bias names
+    linear_bias_names = [k for k in sd if k.endswith(".bias") and (
+        k.startswith("linear.") or k == "classifier.bias"
+    )]
+    for bias_name in linear_bias_names:
+        weight_name = bias_name[: -len(".bias")] + ".weight"
+        if weight_name in sd:
+            continue
+        producer = {out: n for n in nodes for out in n["outputs"]}
+        add_nodes = [
+            n
+            for n in nodes
+            if n["op_type"] == "Add" and bias_name in n["inputs"]
+        ]
+        recovered = False
+        for add in add_nodes:
+            for inp in add["inputs"]:
+                src = producer.get(inp)
+                if (
+                    src is not None
+                    and src["op_type"] == "MatMul"
+                    and len(src["inputs"]) > 1
+                    and src["inputs"][1] in inits
+                ):
+                    # ONNX MatMul weight is (in, out); torch layout is (out, in)
+                    sd[weight_name] = np.ascontiguousarray(
+                        inits[src["inputs"][1]].T
+                    )
+                    recovered = True
+            # Gemm keeps weight+bias in one node (2-D inputs)
+            if not recovered:
+                for n in nodes:
+                    if (
+                        n["op_type"] == "Gemm"
+                        and bias_name in n["inputs"]
+                        and n["inputs"][1] in inits
+                    ):
+                        sd[weight_name] = np.asarray(inits[n["inputs"][1]])
+                        recovered = True
+        if not recovered:
+            raise ValueError(
+                f"{path}: could not recover {weight_name} from the graph "
+                "(no MatMul/Gemm anchored to its bias)"
+            )
 
     if not have_lstm_params:
         # recover from ONNX LSTM nodes, in graph (= layer) order
