@@ -165,7 +165,7 @@ def _masked_stats(x, m, eps):
     return mean, std
 
 
-def _attentive_stats_pool(x, p, cfg, lengths, precision):
+def _attentive_stats_pool(x, p, cfg, lengths, precision, asp_backend="auto"):
     """(B, C, T) -> (B, 2C) attentive statistics pooling with global context
     and length masking (speechbrain AttentiveStatisticsPooling).
 
@@ -193,6 +193,25 @@ def _attentive_stats_pool(x, p, cfg, lengths, precision):
         )
     else:
         attn = _tdnn_block(x, p["tdnn"], precision=precision)
+    # ops/asp_pallas.py fuses the expand-to-C conv + softmax + weighted
+    # stats in VMEM — MEASURED IN CONTEXT it loses: XLA must materialize the
+    # conv-chain activations in the kernel's layout, and stage-2 device time
+    # went 54.6 -> 98.7 ms (docs/PERF.md stage-2 experiment table). "auto"
+    # therefore stays on the jnp formulation; "pallas" remains an explicit
+    # opt-in (bit-verified, f32-softmax numerics).
+    use_pallas = asp_backend == "pallas"
+    if use_pallas and x.shape[1] % 128 == 0:
+        from ..ops.asp_pallas import asp_pool_pallas
+
+        mean, std = asp_pool_pallas(
+            x,
+            jnp.tanh(attn),
+            p["conv"]["weight"][:, :, 0],
+            p["conv"]["bias"],
+            mask[:, 0, :],
+            eps=cfg.eps,
+        )
+        return jnp.concatenate([mean, std], axis=1)
     attn = L.conv1d(jnp.tanh(attn), p["conv"], precision=precision)
     attn = jnp.where(mask == 0, -jnp.inf, attn)
     attn = jax.nn.softmax(attn, axis=2)
@@ -206,6 +225,7 @@ def ecapa_forward(
     lengths: jnp.ndarray | None = None,
     cfg: EcapaConfig = EcapaConfig(),
     precision=L.DEFAULT_PRECISION,
+    asp_backend: str = "auto",
 ) -> jnp.ndarray:
     """(B, T, n_mels) features, (B,) relative lengths -> (B, emb_dim).
 
@@ -220,7 +240,9 @@ def ecapa_forward(
     x3 = _se_res2net_block(x2, params["block3"], cfg, 3, lengths, precision)
     x = jnp.concatenate([x1, x2, x3], axis=1)
     x = _tdnn_block(x, params["mfa"], dilation=cfg.dilations[-1], precision=precision)
-    pooled = _attentive_stats_pool(x, params["asp"], cfg, lengths, precision)
+    pooled = _attentive_stats_pool(
+        x, params["asp"], cfg, lengths, precision, asp_backend=asp_backend
+    )
     pooled = L.batchnorm1d(pooled, params["asp_bn"])
     emb = L.conv1d(pooled[..., None], params["fc"], precision=precision)
     return emb[..., 0]

@@ -242,6 +242,7 @@ def bilstm_layer_fused(
     p_bwd: Params,
     precision=DEFAULT_PRECISION,
     valid: jnp.ndarray | None = None,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """(B, T, I) -> (B, T, 2H): both directions of one BiLSTM layer in a
     SINGLE lax.scan — the backward direction runs as a forward scan over the
@@ -302,10 +303,13 @@ def bilstm_layer_fused(
         jnp.zeros((2, B, hidden), x.dtype),
         jnp.zeros((2, B, hidden), x.dtype),
     )
+    # ``unroll``: lax.scan body replication — measured 15% off the
+    # sequential step cost at batch 32 (bit-exact; docs/PERF.md stage-1
+    # experiments), while larger factors and batch-128 regress
     if mask_t is not None:
-        _, hs = jax.lax.scan(step, init, (xs, mask_t))
+        _, hs = jax.lax.scan(step, init, (xs, mask_t), unroll=unroll)
     else:
-        _, hs = jax.lax.scan(step, init, xs)
+        _, hs = jax.lax.scan(step, init, xs, unroll=unroll)
     fwd = jnp.swapaxes(hs[:, 0], 0, 1)  # (B, T, H)
     bwd = jnp.flip(jnp.swapaxes(hs[:, 1], 0, 1), axis=1)
     return jnp.concatenate([fwd, bwd], axis=-1)
@@ -317,6 +321,7 @@ def bilstm_stack(
     precision=DEFAULT_PRECISION,
     valid: jnp.ndarray | None = None,
     fused: bool = True,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Multi-layer bidirectional LSTM; layers = [{"fwd": P, "bwd": P}, ...].
 
@@ -337,7 +342,12 @@ def bilstm_stack(
     for layer in layers:
         if fused:
             out = bilstm_layer_fused(
-                out, layer["fwd"], layer["bwd"], precision=precision, valid=valid
+                out,
+                layer["fwd"],
+                layer["bwd"],
+                precision=precision,
+                valid=valid,
+                unroll=unroll,
             )
         else:
             fwd = lstm_cell_scan(

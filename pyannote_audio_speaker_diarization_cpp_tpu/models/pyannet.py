@@ -200,14 +200,41 @@ def sincnet_forward(
     out = x[:, None, :]
     out = L.instancenorm1d(out, p["wav_norm"], valid=v_wav)
     filters = sinc_filters(p["sinc"], cfg)
-    out = jax.lax.conv_general_dilated(
-        out,
-        filters,
-        window_strides=(cfg.stride,),
-        padding=[(0, 0)],
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=precision,
-    )
+    if x.shape[1] % cfg.stride == 0:
+        # polyphase formulation: fold the stride into input channels
+        # (x_r[t] = x[stride*t + r]) so the k-251/stride-10 conv becomes a
+        # dense 10-channel k-26 conv XLA tiles far better onto the MXU —
+        # identical math up to f32 reassociation (~2e-7 rel, tested), ~1.2x
+        # measured on TPU v5e and much friendlier at full-set batches
+        # (docs/PERF.md stage-1 experiments)
+        B, N = x.shape
+        O = filters.shape[0]
+        q = -(-cfg.kernel_size // cfg.stride)  # taps per phase
+        wpad = jnp.pad(
+            filters[:, 0, :], ((0, 0), (0, q * cfg.stride - cfg.kernel_size))
+        )
+        w2 = wpad.reshape(O, q, cfg.stride).transpose(0, 2, 1)  # (O, stride, q)
+        xr = out[:, 0, :].reshape(B, N // cfg.stride, cfg.stride)
+        xr = jnp.swapaxes(xr, 1, 2)  # (B, stride, N/stride)
+        out = jax.lax.conv_general_dilated(
+            xr,
+            w2,
+            window_strides=(1,),
+            padding=[(0, 0)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=precision,
+        )
+        frames = (N - cfg.kernel_size) // cfg.stride + 1
+        out = out[:, :, :frames]
+    else:
+        out = jax.lax.conv_general_dilated(
+            out,
+            filters,
+            window_strides=(cfg.stride,),
+            padding=[(0, 0)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=precision,
+        )
     out = jnp.abs(out)
     out = L.max_pool1d(out, 3, 3)
     out = jax.nn.leaky_relu(
@@ -247,8 +274,31 @@ def pyannet_forward(
     valid_frames = None
     if valid_samples is not None:
         valid_frames = pyannet_valid_chain(valid_samples, cfg)[5]
+    return pyannet_head_forward(params, feat, cfg, precision, valid_frames)
+
+
+def pyannet_head_forward(
+    params: Dict,
+    feat: jnp.ndarray,
+    cfg: PyanNetConfig = PyanNetConfig(),
+    precision=L.DEFAULT_PRECISION,
+    valid_frames: jnp.ndarray | None = None,
+    unroll: int = 1,
+) -> jnp.ndarray:
+    """SincNet features (B, channels, frames) -> (B, frames, classes).
+
+    Split out of pyannet_forward so the pipeline can run the conv frontend
+    in working-memory-bounded batches (lax.map) but the LSTM head ONCE over
+    every chunk: the head activations are tiny ((chunks, 293, 60)), and the
+    sequential scan length — the stage-1 latency driver — then stays at
+    layers x 293 steps instead of multiplying by the number of batches
+    (pipelines/diarization.py stage1; measured stage-1 device-time figures
+    in docs/PERF.md).
+    """
     out = jnp.swapaxes(feat, 1, 2)  # (B, frames, channels)
-    out = L.bilstm_stack(out, params["lstm"], precision, valid=valid_frames)
+    out = L.bilstm_stack(
+        out, params["lstm"], precision, valid=valid_frames, unroll=unroll
+    )
     for lin in params["linear"]:
         out = jax.nn.leaky_relu(L.linear(out, lin, precision), cfg.leaky_slope)
     out = L.linear(out, params["classifier"], precision)

@@ -1,0 +1,124 @@
+"""Fused attentive-statistics-pooling tail as a Pallas TPU kernel.
+
+The ECAPA ASP tail (models/ecapa.py _attentive_stats_pool) expands the
+128-channel attention activations to the full C=3072 channels (1x1 conv),
+softmax-normalizes over time, and reduces weighted mean/std — in XLA this
+materializes a (B, C, T) score tensor (98 MB at VoxCeleb widths) and runs
+the time reduce in the channel-minor layout the conv chain imposes:
+profiler-measured at 1.64 ms per 32-row batch (~20 ms of the round-3
+stage-2 total), ~6x the bandwidth roofline.
+
+Here one kernel invocation per (batch row, 128-channel block) does the
+whole tail in VMEM: a (128,128) MXU matmul builds the score block from the
+shared tanh-activations, softmax runs in f32 registers, and the weighted
+stats reduce immediately — the (B, C, T) scores never reach HBM. Reads x
+once (98 MB) + the small attention activations; writes 2x(B, C). The
+activation block index map is constant across the channel-block axis, so
+Pallas keeps it resident between consecutive programs.
+
+Numerics: scores/softmax/stats in float32 (XLA's bf16 path rounds the
+softmax); outputs cast to the activation dtype.
+
+MEASURED VERDICT (round 4, docs/PERF.md): in the full stage-2 context the
+kernel LOSES — XLA must materialize the conv-chain activations in the
+kernel's required layout, which costs more than the fusion saves (stage-2
+device 54.6 -> 98.7 ms). The kernel is kept as an explicit opt-in
+(``ecapa_forward(asp_backend="pallas")``, bit-verified against the jnp
+oracle) and as the measured record of the experiment; "auto" uses jnp.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+C_BLOCK = 128
+
+
+def _asp_kernel(a_ref, w_ref, b_ref, x_ref, mask_ref, mean_ref, std_ref, *, eps):
+    a = a_ref[...]  # (B, A, T_pad) tanh-activations (shared across grid)
+    w = w_ref[...].astype(a.dtype)  # (C_BLOCK, A)
+    bias = b_ref[...].astype(jnp.float32)  # (1, C_BLOCK)
+    mask = mask_ref[...].astype(jnp.float32)  # (B, 1, T_pad)
+
+    # scores for this channel block, all batch rows: (B, C_BLOCK, T_pad)
+    s = jax.lax.dot_general(
+        a,
+        w,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, T_pad, C_BLOCK)
+    s = jnp.transpose(s, (0, 2, 1)) + bias.reshape(1, -1, 1)
+    s = jnp.where(mask > 0.0, s, -jnp.inf)
+    mx = jnp.max(s, axis=2, keepdims=True)
+    e = jnp.exp(s - mx)
+    den = jnp.sum(e, axis=2, keepdims=True)
+    p = e / den
+
+    x = x_ref[...].astype(jnp.float32)  # (B, C_BLOCK, T_pad)
+    mean = jnp.sum(p * x, axis=2)
+    sq = jnp.sum(p * x * x, axis=2)
+    var = jnp.maximum(sq - mean * mean, 0.0)
+    std = jnp.sqrt(jnp.maximum(var, eps))
+    mean_ref[:, 0, 0, :] = mean.astype(mean_ref.dtype)
+    std_ref[:, 0, 0, :] = std.astype(std_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def asp_pool_pallas(x, a_tanh, w, bias, mask, eps: float = 1e-12, interpret: bool = False):
+    """Fused ASP tail.
+
+    x:      (B, C, T)  pooled-over activations (any float dtype)
+    a_tanh: (B, A, T)  tanh of the attention TDNN output (A = attention ch)
+    w:      (C, A)     the 1x1 conv weight expanding A -> C
+    bias:   (C,)       its bias
+    mask:   (B, T)     1.0 on valid frames (length mask)
+    Returns (mean, std): each (B, C) in x.dtype.
+    """
+    B, C, T = x.shape
+    A = a_tanh.shape[1]
+    assert C % C_BLOCK == 0, C
+    # pad T to the lane width
+    T_pad = ((T + 127) // 128) * 128
+    if T_pad != T:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, T_pad - T)))
+        a_tanh = jnp.pad(a_tanh, ((0, 0), (0, 0), (0, T_pad - T)))
+        mask = jnp.pad(mask, ((0, 0), (0, T_pad - T)))
+    mask = mask.astype(jnp.float32)[:, None, :]  # (B, 1, T_pad)
+
+    B_BLOCK = 8
+    if B % B_BLOCK != 0:
+        padB = ((B + B_BLOCK - 1) // B_BLOCK) * B_BLOCK - B
+        x = jnp.pad(x, ((0, padB), (0, 0), (0, 0)))
+        a_tanh = jnp.pad(a_tanh, ((0, padB), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, padB), (0, 0), (0, 0)))
+    Bp = x.shape[0]
+    grid = (Bp // B_BLOCK, C // C_BLOCK)
+    kernel = functools.partial(_asp_kernel, eps=eps)
+    mean, std = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((B_BLOCK, A, T_pad), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((C_BLOCK, A), lambda b, c: (c, 0)),
+            pl.BlockSpec((1, C_BLOCK), lambda b, c: (0, c)),
+            pl.BlockSpec((B_BLOCK, C_BLOCK, T_pad), lambda b, c: (b, c, 0)),
+            pl.BlockSpec((B_BLOCK, 1, T_pad), lambda b, c: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((B_BLOCK, 1, 1, C_BLOCK), lambda b, c: (b, c, 0, 0)),
+            pl.BlockSpec((B_BLOCK, 1, 1, C_BLOCK), lambda b, c: (b, c, 0, 0)),
+        ],
+        # (B, C_blocks, 1, C_BLOCK): the trailing (1, C_BLOCK) satisfies the
+        # Mosaic last-two-dims tiling rule for 1-row output blocks
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, C // C_BLOCK, 1, C_BLOCK), x.dtype),
+            jax.ShapeDtypeStruct((Bp, C // C_BLOCK, 1, C_BLOCK), x.dtype),
+        ],
+    )(a_tanh, w, bias.reshape(1, C), x, mask)
+    return mean.reshape(Bp, C)[:B], std.reshape(Bp, C)[:B]

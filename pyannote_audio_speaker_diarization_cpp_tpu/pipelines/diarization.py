@@ -331,12 +331,23 @@ class SpeakerDiarizationPipeline:
                 return jax.lax.with_sharding_constraint(
                     x, jax.sharding.NamedSharding(mesh, P())
                 )
+
+            def shard_chunks(x):
+                """Constrain a (chunks, ...) tensor so the leading chunk
+                axis splits over the data axis (the full-set LSTM head)."""
+                spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+                return jax.lax.with_sharding_constraint(
+                    x, jax.sharding.NamedSharding(mesh, spec)
+                )
         else:
 
             def shard_rows(x, ndim):
                 return x
 
             def replicate(x):
+                return x
+
+            def shard_chunks(x):
                 return x
         min_num_frames = float(
             math.ceil(
@@ -357,9 +368,11 @@ class SpeakerDiarizationPipeline:
             parts = [blocks[i : i + num_chunks] for i in range(k)]
             return jnp.concatenate(parts, axis=1)
 
-        # the pallas pack kernel is single-device code; under a multi-chip
-        # mesh the jnp formulation lets XLA partition the batch axis freely
+        # the pallas pack/ASP kernels are single-device code; under a
+        # multi-chip mesh the jnp formulations let XLA partition the batch
+        # axis freely
         pack_backend = "jnp" if (mesh is not None and mesh.size > 1) else "auto"
+        asp_backend = pack_backend
         # config.compute_dtype="bfloat16" runs the ECAPA trunk with bf16
         # activations AND parameters (halving its HBM traffic); the STFT/mel
         # front-end and the returned embeddings stay f32. Measured deviation
@@ -386,7 +399,12 @@ class SpeakerDiarizationPipeline:
             if emb_dtype is not None:
                 feats = feats.astype(emb_dtype)
             emb = ecapa_mod.ecapa_forward(
-                params, feats, wav_lens, self.ecapa_cfg, precision=precision
+                params,
+                feats,
+                wav_lens,
+                self.ecapa_cfg,
+                precision=precision,
+                asp_backend=asp_backend,
             )
             if with_internals:
                 return emb.astype(jnp.float32), too_short, signals, wav_lens
@@ -438,29 +456,64 @@ class SpeakerDiarizationPipeline:
             num_chunks = valid_frames.shape[0]
             chunks = device_chunks(wav_padded, num_chunks)
             nb = num_chunks // self.seg_batch
-            batches = shard_rows(
-                chunks.reshape(nb, self.seg_batch, seg_cfg.window_size), 3
+            # conv frontend in GROUPED batches (up to 4 x seg_batch): most
+            # of the round-3 lax.map cost was per-iteration loop overhead
+            # (~0.85 ms), not conv compute — fewer, larger iterations keep
+            # working memory bounded for long-form shards while the common
+            # <=128-chunk request runs the convs in ONE call. The LSTM head
+            # then runs per seg_batch with a 2x-unrolled scan (measured
+            # winner over both a full-set head and unroll=1; stage-1
+            # experiment table in docs/PERF.md).
+            group_mult = next(g for g in (4, 3, 2, 1) if nb % g == 0)
+            group = group_mult * self.seg_batch
+            ng = num_chunks // group
+            gbatches = shard_rows(
+                chunks.reshape(ng, group, seg_cfg.window_size), 3
             )
             if self.exact_orphan:
-                vs_batches = shard_rows(
-                    valid_samples.reshape(nb, self.seg_batch), 2
-                )
-                segs = jax.lax.map(
-                    lambda bv: pyannet_mod.pyannet_forward(
-                        params,
+                vs_g = shard_rows(valid_samples.reshape(ng, group), 2)
+                feats = jax.lax.map(
+                    lambda bv: pyannet_mod.sincnet_forward(
                         bv[0],
+                        params["sincnet"],
                         self.pyannet_cfg,
-                        precision=precision,
+                        precision,
                         valid_samples=bv[1],
                     ),
-                    (batches, vs_batches),
+                    (gbatches, vs_g),
                 )
+                valid_head = pyannet_mod.pyannet_valid_chain(
+                    valid_samples, self.pyannet_cfg
+                )[5].reshape(nb, self.seg_batch)
+            else:
+                feats = jax.lax.map(
+                    lambda b: pyannet_mod.sincnet_forward(
+                        b, params["sincnet"], self.pyannet_cfg, precision
+                    ),
+                    gbatches,
+                )
+                valid_head = None
+            feats = shard_rows(
+                feats.reshape(
+                    nb, self.seg_batch, feats.shape[-2], feats.shape[-1]
+                ),
+                4,
+            )
+
+            def head(args):
+                f, v = args
+                return pyannet_mod.pyannet_head_forward(
+                    params, f, self.pyannet_cfg, precision, v, unroll=2
+                )
+
+            if valid_head is not None:
+                segs = jax.lax.map(head, (feats, valid_head))
             else:
                 segs = jax.lax.map(
-                    lambda b: pyannet_mod.pyannet_forward(
-                        params, b, self.pyannet_cfg, precision=precision
+                    lambda f: pyannet_mod.pyannet_head_forward(
+                        params, f, self.pyannet_cfg, precision, None, unroll=2
                     ),
-                    batches,
+                    feats,
                 )
             segs = segs.reshape(num_chunks, seg_cfg.num_frames, seg_cfg.num_speakers)
             segs = replicate(segs)

@@ -81,3 +81,35 @@ def test_pack_and_lengths_backends_agree():
     np.testing.assert_array_equal(
         np.asarray(l1), np.asarray(jnp.where(lens < 64, 1.0, lens / n))
     )
+
+
+def test_asp_pool_pallas_matches_jnp_oracle():
+    """The fused ASP-tail kernel (ops/asp_pallas.py — an explicit opt-in;
+    'auto' measured jnp as the in-context winner) must match the jnp
+    formulation: conv-expand + masked softmax + weighted mean/std."""
+    import jax
+    import jax.numpy as jnp
+
+    from pyannote_audio_speaker_diarization_cpp_tpu.ops.asp_pallas import (
+        asp_pool_pallas,
+    )
+
+    rng = np.random.default_rng(5)
+    B, A, C, T = 4, 32, 256, 97
+    x = jnp.asarray(rng.normal(size=(B, C, T)).astype(np.float32))
+    a = jnp.tanh(jnp.asarray(rng.normal(size=(B, A, T)).astype(np.float32)))
+    w = jnp.asarray(rng.normal(size=(C, A)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+    lens = rng.uniform(0.3, 1.0, B).astype(np.float32)
+    mask = (np.arange(T)[None, :] < (lens * T)[:, None]).astype(np.float32)
+
+    mean, std = asp_pool_pallas(x, a, w, b, jnp.asarray(mask), interpret=True)
+
+    s = jnp.einsum("ca,bat->bct", w, a) + b[None, :, None]
+    s = jnp.where(jnp.asarray(mask)[:, None, :] == 0, -jnp.inf, s)
+    p = jax.nn.softmax(s, axis=2)
+    ref_mean = jnp.sum(p * x, axis=2)
+    ref_sq = jnp.sum(p * x * x, axis=2)
+    ref_std = jnp.sqrt(jnp.maximum(ref_sq - ref_mean**2, 1e-12))
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(ref_mean), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(std), np.asarray(ref_std), rtol=1e-4, atol=1e-5)
