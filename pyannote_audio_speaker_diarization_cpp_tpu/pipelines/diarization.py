@@ -228,20 +228,14 @@ class SpeakerDiarizationPipeline:
                 raise ValueError(f"unknown clusterer: {clusterer!r}")
         self.clusterer = clusterer
         # "jnp" (XLA-fused GEMM chain), "pallas" (the explicit fused kernel
-        # in ops/frontend_pallas.py), or "auto" (measured winner on TPU v5e:
-        # pallas 0.034 vs jnp 0.081 ms/batch at B=32; jnp wins from B~128 —
-        # BENCH_r02). The pallas kernel is single-device code, so meshes
-        # stay on jnp.
+        # in ops/frontend_pallas.py), or "auto". Round-2 micro-benchmarks
+        # preferred pallas at B<=64, but the round-4 IN-CONTEXT profiler
+        # comparison (the only trustworthy measurement on this async
+        # tunnel) has jnp 1 ms/request faster inside the full stage-2
+        # dispatch (53.5 vs 54.6 ms device; docs/PERF.md) — auto now stays
+        # on jnp; pallas remains an explicit opt-in.
         if frontend_backend == "auto":
-            frontend_backend = (
-                "pallas"
-                if (
-                    jax.default_backend() == "tpu"
-                    and (mesh is None or mesh.size == 1)
-                    and (emb_batch or config.embedding.batch_size) <= 64
-                )
-                else "jnp"
-            )
+            frontend_backend = "jnp"
         self.frontend_backend = frontend_backend
         # exact_orphan=True (default): every chunk is scored with its TRUE
         # sample count via the masked-statistics PyanNet path (masked
