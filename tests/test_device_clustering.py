@@ -235,3 +235,23 @@ def test_stage3_activations_match_post_cluster(pipelines):
     )
     got = np.asarray(dc["activations"], np.float32)
     np.testing.assert_allclose(got, np.asarray(ref), atol=2e-3)
+
+
+def test_collect_falls_back_when_num_large_zero(pipelines):
+    """When the device stage-3 reports num_large == 0 (the host dendrogram
+    search must run), _collect must fall through to the host path and still
+    produce the host answer — embeddings are still resident."""
+    import jax.numpy as jnp
+
+    p_dev, p_host = pipelines
+    wav = (0.1 * np.random.default_rng(44).normal(size=4 * 16000)).astype(
+        np.float32
+    )
+    pending = p_dev._dispatch(wav)
+    assert pending["device_clu"] is not None
+    # force the fallback signal
+    pending["device_clu"]["num_large"] = jnp.asarray(0, jnp.int32)
+    ann = p_dev._collect(pending)
+    td = _turns(ann)
+    th = _turns(p_host(wav))
+    assert [(s, e) for s, e, _ in td] == [(s, e) for s, e, _ in th]
