@@ -458,34 +458,64 @@ class SpeakerDiarizationPipeline:
             # then runs per seg_batch with a 2x-unrolled scan (measured
             # winner over both a full-set head and unroll=1; stage-1
             # experiment table in docs/PERF.md).
-            group_mult = next(g for g in (4, 3, 2, 1) if nb % g == 0)
-            group = group_mult * self.seg_batch
-            ng = num_chunks // group
-            gbatches = shard_rows(
-                chunks.reshape(ng, group, seg_cfg.window_size), 3
-            )
-            if self.exact_orphan:
-                vs_g = shard_rows(valid_samples.reshape(ng, group), 2)
-                feats = jax.lax.map(
-                    lambda bv: pyannet_mod.sincnet_forward(
-                        bv[0],
-                        params["sincnet"],
-                        self.pyannet_cfg,
-                        precision,
-                        valid_samples=bv[1],
-                    ),
-                    (gbatches, vs_g),
+            def sinc_map(chunk_rows, vs_rows, group, count):
+                """lax.map of sincnet over ``count`` groups of ``group``
+                chunks; returns (count*group, C, F)."""
+                gb = shard_rows(
+                    chunk_rows.reshape(count, group, seg_cfg.window_size), 3
                 )
+                if vs_rows is not None:
+                    vg = shard_rows(vs_rows.reshape(count, group), 2)
+                    out = jax.lax.map(
+                        lambda bv: pyannet_mod.sincnet_forward(
+                            bv[0],
+                            params["sincnet"],
+                            self.pyannet_cfg,
+                            precision,
+                            valid_samples=bv[1],
+                        ),
+                        (gb, vg),
+                    )
+                else:
+                    out = jax.lax.map(
+                        lambda b: pyannet_mod.sincnet_forward(
+                            b, params["sincnet"], self.pyannet_cfg, precision
+                        ),
+                        gb,
+                    )
+                return out.reshape(count * group, out.shape[-2], out.shape[-1])
+
+            # main part in groups of 4 x seg_batch + a remainder part in
+            # single batches, so batch counts that are not multiples of 4
+            # (e.g. prime shard sizes in long-form) still get the grouping
+            # win instead of falling back to per-batch iterations
+            g_nb = (nb // 4) * 4
+            vs_all = valid_samples if self.exact_orphan else None
+            parts = []
+            if g_nb:
+                parts.append(
+                    sinc_map(
+                        chunks[: g_nb * self.seg_batch],
+                        None if vs_all is None else vs_all[: g_nb * self.seg_batch],
+                        4 * self.seg_batch,
+                        g_nb // 4,
+                    )
+                )
+            if nb - g_nb:
+                parts.append(
+                    sinc_map(
+                        chunks[g_nb * self.seg_batch :],
+                        None if vs_all is None else vs_all[g_nb * self.seg_batch :],
+                        self.seg_batch,
+                        nb - g_nb,
+                    )
+                )
+            feats = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+            if self.exact_orphan:
                 valid_head = pyannet_mod.pyannet_valid_chain(
                     valid_samples, self.pyannet_cfg
                 )[5].reshape(nb, self.seg_batch)
             else:
-                feats = jax.lax.map(
-                    lambda b: pyannet_mod.sincnet_forward(
-                        b, params["sincnet"], self.pyannet_cfg, precision
-                    ),
-                    gbatches,
-                )
                 valid_head = None
             feats = shard_rows(
                 feats.reshape(
