@@ -187,12 +187,18 @@ class SpeakerDiarizationPipeline:
         # trips (embeddings out, membership back). "auto" (default) uses it
         # whenever the request is eligible — default AHC recipe (centroid/
         # cosine, unconstrained), no explicit speaker bounds, and at most
-        # ``device_cluster_rows`` embedding rows (~2.8 min of audio; longer
+        # ``device_cluster_rows`` embedding rows (~4 min of audio; longer
         # audio and every ineligible/failed case takes the host path, which
-        # remains the oracle). False disables; True requires a compatible
-        # clusterer.
+        # remains the oracle). The merge loop scales ~R^2 (measured: 6 ms at
+        # 384 rows, 41 ms at 1152, 65 ms at 1536 — docs/PERF.md); the
+        # default cap is where device clustering still beats the host path's
+        # two tunnel round trips on single-request latency. Deployments
+        # optimizing aggregate throughput of LONG requests may prefer a
+        # lower cap (host clustering overlaps other requests' device
+        # compute; the fused stage 3 occupies the chip). False disables;
+        # True requires a compatible clusterer.
         device_clustering: Union[str, bool] = "auto",
-        device_cluster_rows: int = 1024,
+        device_cluster_rows: int = 1536,
         k_max: int = 8,
     ):
         self.config = config
