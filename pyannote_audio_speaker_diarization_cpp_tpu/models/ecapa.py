@@ -200,7 +200,12 @@ def _attentive_stats_pool(x, p, cfg, lengths, precision, asp_backend="auto"):
     # therefore stays on the jnp formulation; "pallas" remains an explicit
     # opt-in (bit-verified, f32-softmax numerics).
     use_pallas = asp_backend == "pallas"
-    if use_pallas and x.shape[1] % 128 == 0:
+    if use_pallas and x.shape[1] % 128 != 0:
+        raise ValueError(
+            f"asp_backend='pallas' needs the pooled channel count to be a "
+            f"multiple of 128, got {x.shape[1]}"
+        )
+    if use_pallas:
         from ..ops.asp_pallas import asp_pool_pallas
 
         mean, std = asp_pool_pallas(

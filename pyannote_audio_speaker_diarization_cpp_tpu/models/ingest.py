@@ -511,18 +511,16 @@ def pyannet_from_onnx(path: str, cfg: PyanNetConfig = PyanNetConfig()) -> Dict:
     linear_bias_names = [k for k in sd if k.endswith(".bias") and (
         k.startswith("linear.") or k == "classifier.bias"
     )]
+    producer = {out: n for n in nodes for out in n["outputs"]}
     for bias_name in linear_bias_names:
         weight_name = bias_name[: -len(".bias")] + ".weight"
         if weight_name in sd:
             continue
-        producer = {out: n for n in nodes for out in n["outputs"]}
-        add_nodes = [
-            n
-            for n in nodes
-            if n["op_type"] == "Add" and bias_name in n["inputs"]
-        ]
         recovered = False
-        for add in add_nodes:
+        for add in (
+            n for n in nodes
+            if n["op_type"] == "Add" and bias_name in n["inputs"]
+        ):
             for inp in add["inputs"]:
                 src = producer.get(inp)
                 if (
@@ -536,16 +534,18 @@ def pyannet_from_onnx(path: str, cfg: PyanNetConfig = PyanNetConfig()) -> Dict:
                         inits[src["inputs"][1]].T
                     )
                     recovered = True
-            # Gemm keeps weight+bias in one node (2-D inputs)
-            if not recovered:
-                for n in nodes:
-                    if (
-                        n["op_type"] == "Gemm"
-                        and bias_name in n["inputs"]
-                        and n["inputs"][1] in inits
-                    ):
-                        sd[weight_name] = np.asarray(inits[n["inputs"][1]])
-                        recovered = True
+        if not recovered:
+            # Gemm keeps weight+bias in ONE node (2-D inputs) — there is no
+            # separate Add to anchor on, so this must be searched whether or
+            # not any Add nodes exist (review r4)
+            for n in nodes:
+                if (
+                    n["op_type"] == "Gemm"
+                    and bias_name in n["inputs"]
+                    and n["inputs"][1] in inits
+                ):
+                    sd[weight_name] = np.asarray(inits[n["inputs"][1]])
+                    recovered = True
         if not recovered:
             raise ValueError(
                 f"{path}: could not recover {weight_name} from the graph "

@@ -621,8 +621,7 @@ class SpeakerDiarizationPipeline:
         # the (frames, k_max) activations + scalars. Threshold/min-size come
         # from the clusterer's own config (== the recipe defaults unless the
         # caller customized them).
-        clu_threshold, clu_mcs = self._device_clu_key() or (0.0, 0)
-        k_max = self.k_max
+        clu_threshold, clu_mcs, k_max = self._device_clu_key() or (0.0, 0, self.k_max)
 
         def stage3(segs, emb, too_short, inactive, start_frames, num_frames):
             from ..clustering import device as devclu
@@ -664,13 +663,15 @@ class SpeakerDiarizationPipeline:
             )
 
     def _device_clu_key(self):
-        """(threshold, min_cluster_size) when on-device clustering is
-        enabled and the clusterer is compatible, else None. Part of the
-        step-cache key (stage 3 compiles these in)."""
+        """(threshold, min_cluster_size, k_max) when on-device clustering
+        is enabled and the clusterer is compatible, else None. Part of the
+        step-cache key (stage 3 compiles ALL of these in — review r4: a
+        missing k_max here let a second pipeline with a different k_max
+        reuse the wrong compiled stage 3)."""
         if not getattr(self, "_device_clu_enabled", False):
             return None
         c = self.clusterer.config
-        return (c.threshold, c.min_cluster_size)
+        return (c.threshold, c.min_cluster_size, self.k_max)
 
     def _device_clu_eligible(
         self, rows: int, num_speakers, min_speakers, max_speakers
@@ -679,12 +680,15 @@ class SpeakerDiarizationPipeline:
 
         Explicit speaker bounds take the host path (the known-num_clusters
         dendrogram search, clustering/base.py cluster()); row counts above
-        the cap take the host path (which also implements the pyannote
-        1000-embedding subsample, Clustering.py:69-76)."""
+        ``device_cluster_rows`` take the host path. Within the cap the
+        device path clusters EVERY valid embedding — the pyannote
+        1000-embedding subsample (Clustering.py:69-76) is a speed cap the
+        chip does not need at these sizes, so it is deliberately not
+        applied (documented deviation, docs/PARITY.md)."""
         if not self._device_clu_enabled or rows > self.device_cluster_rows:
             return False
         cfg = self.config
-        if any(
+        return not any(
             b is not None
             for b in (
                 num_speakers,
@@ -694,10 +698,7 @@ class SpeakerDiarizationPipeline:
                 cfg.min_speakers,
                 cfg.max_speakers,
             )
-        ):
-            return False
-        cap = self.clusterer.max_num_embeddings
-        return cap is None or rows <= cap
+        )
 
     def chunk_lattice(self, num_chunks: int) -> int:
         """Padded chunk count: the batch lattice keeps jit shapes static,

@@ -6,7 +6,10 @@ pipeline/src/speakerDiarizer.cpp:2937-3234; its only streaming primitive is
 a WAV *writer*, frontend/wav.h:193). This module adds the online mode a
 serving deployment needs: feed audio as it arrives, get an evolving
 diarization, and a final flush that is **string-identical to the offline
-pipeline** on the same audio (tested).
+pipeline's HOST-clustering decode** (``device_clustering=False``; tested).
+Against the default offline path (fused on-device clustering) the flush is
+partition-equivalent — same turn boundaries, cluster labels renamed — per
+the documented device-clustering numbering deviation (docs/PARITY.md).
 
 Design: audio accumulates in a bounded buffer; whenever ``emit_every``
 new 5 s / 0.5 s chunks are fully covered by buffered samples, stages 1+2 run
@@ -47,7 +50,6 @@ samples — an hour-long stream never holds the waveform.
 
 from __future__ import annotations
 
-import dataclasses
 import time
 from typing import List, Optional
 

@@ -1,9 +1,16 @@
 """Streaming diarization: incremental feeds must converge to the offline
-pipeline's output exactly at flush."""
+pipeline's output exactly at flush.
+
+The exactness contract is against the offline HOST-clustering decode
+(device_clustering=False) — streaming's global steps run on host. Against
+the default offline path (fused on-device clustering) flush is
+partition-equivalent (same boundaries, labels renamed); a dedicated test
+pins that too."""
 
 import numpy as np
 import pytest
 
+from _cfg import make_tiny1s_pipeline
 from pyannote_audio_speaker_diarization_cpp_tpu.pipelines.streaming import (
     StreamingDiarizer,
 )
@@ -11,7 +18,9 @@ from pyannote_audio_speaker_diarization_cpp_tpu.pipelines.streaming import (
 
 @pytest.fixture(scope="module")
 def tiny_pipeline(tiny1s_pipeline):
-    return tiny1s_pipeline
+    # the flush == offline STRING contract holds vs the host-clustering
+    # pipeline (streaming's global steps are host-side)
+    return make_tiny1s_pipeline(device_clustering=False)
 
 
 def _audio(seconds_samples, seed):
@@ -183,3 +192,28 @@ def test_incremental_emission_cost_does_not_scale_with_history(tiny_pipeline):
     # first emission reclusters (folds everything so far == 1 batch); later
     # incremental emissions each fold exactly the one new batch
     assert all(n == 1 for n in folded_per_emit)
+
+
+def test_flush_partition_equivalent_to_device_clustering_offline(
+    tiny_pipeline, tiny1s_pipeline
+):
+    """Against the DEFAULT offline path (fused device clustering) the flush
+    must have identical turn boundaries with bijectively-renamed labels
+    (the documented device-clustering numbering deviation)."""
+    audio = _audio(7 * 16000, seed=51)
+    stream = StreamingDiarizer(tiny_pipeline, emit_every=3)
+    for block in np.array_split(audio, 5):
+        stream.feed(block)
+    flush_turns = [
+        (round(t.start, 6), round(t.end, 6), t.label)
+        for t in stream.flush().turns()
+    ]
+    offline = tiny1s_pipeline(audio)  # device_clustering="auto"
+    off_turns = [
+        (round(t.start, 6), round(t.end, 6), t.label) for t in offline.turns()
+    ]
+    assert [(s, e) for s, e, _ in flush_turns] == [(s, e) for s, e, _ in off_turns]
+    fwd = {}
+    for (_, _, a), (_, _, b) in zip(flush_turns, off_turns):
+        assert fwd.setdefault(a, b) == b
+    assert len(set(fwd.values())) == len(fwd)
