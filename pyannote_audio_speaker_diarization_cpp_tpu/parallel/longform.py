@@ -291,19 +291,25 @@ class LongFormDiarizer:
         num_acc = np.zeros(count_plan.num_frames, np.float64)
         den_acc = np.zeros(count_plan.num_frames, np.float64)
         embs, inacts, resident = [], [], []
+        # DISPATCH phase: queue every shard's stage-1/2 and count-part
+        # dispatches before any sync, so each shard's d2h fetch overlaps
+        # the later shards' device compute (the round-3 loop synced per
+        # shard, idling the chip during every ~0.1-0.3 s fetch)
+        pending = []
         for shard in local_shards:
             if shard.num_chunks == 0:
                 continue  # empty shard (more hosts than chunks): it still
                 # joins every collective below with zero contributions
             is_last = shard.chunk_hi == num_chunks
-            segs_dev, binz_dev, valid, emb, inact = p.run_chunks_device(
-                self._load_shard(audio, sr, shard),
-                shard.num_chunks,
-                orphan_frames if is_last else None,
-                orphan_samples if is_last else None,
+            segs_dev, binz_dev, valid, emb_dev, ts_dev, inact_dev = (
+                p.run_chunks_device(
+                    self._load_shard(audio, sr, shard),
+                    shard.num_chunks,
+                    orphan_frames if is_last else None,
+                    orphan_samples if is_last else None,
+                    fetch=False,
+                )
             )
-            embs.append(emb)
-            inacts.append(inact)
             lo, hi = shard.chunk_lo, shard.chunk_hi
             gofs = int(count_plan.start_frames[lo])
             cstart = count_plan.start_frames[lo:hi] - gofs
@@ -318,13 +324,28 @@ class LongFormDiarizer:
                 left,
                 right,
             )
-            n_h, d_h = jax.device_get((n_dev, d_dev))
+            pending.append(
+                (shard, segs_dev, valid, emb_dev, ts_dev, inact_dev, n_dev,
+                 d_dev, gofs, local_n)
+            )
+
+        # COLLECT phase: one combined device_get per shard, in order
+        S = seg_cfg.num_speakers
+        for (shard, segs_dev, valid, emb_dev, ts_dev, inact_dev, n_dev,
+             d_dev, gofs, local_n) in pending:
+            emb_h, ts_h, inact_h, n_h, d_h = jax.device_get(
+                (emb_dev, ts_dev, inact_dev, n_dev, d_dev)
+            )
+            rows = shard.num_chunks * S
+            embeddings_h = np.asarray(emb_h[:rows], dtype=np.float64)
+            embeddings_h[ts_h[:rows]] = np.nan
+            embs.append(embeddings_h.reshape(shard.num_chunks, S, -1))
+            inacts.append(inact_h[: shard.num_chunks])
             take = min(local_n, count_plan.num_frames - gofs)
             num_acc[gofs : gofs + take] += n_h[:take]
             den_acc[gofs : gofs + take] += d_h[:take]
             resident.append((shard, segs_dev, valid))
 
-        S = seg_cfg.num_speakers
         D = p.ecapa_cfg.emb_dim
         if embs:
             local_emb = np.concatenate(embs, axis=0)

@@ -1187,6 +1187,7 @@ class SpeakerDiarizationPipeline:
         num_chunks: int,
         orphan_frames: Optional[int] = None,
         orphan_samples: Optional[int] = None,
+        fetch: bool = True,
     ):
         """Like run_chunks, but the bulky per-chunk score tensors STAY ON
         DEVICE; only embeddings (f16) + flags travel to the host. Returns
@@ -1217,6 +1218,12 @@ class SpeakerDiarizationPipeline:
             jnp.asarray(valid_samples),
         )
         emb, too_short = self._stage2(self.params["embedding"], wav_dev, chosen)
+        if not fetch:
+            # ASYNC mode: hand back the device handles so the caller can
+            # dispatch MORE shards before any sync — the long-form path
+            # (parallel/longform.py) overlaps each shard's d2h fetch with
+            # the later shards' device compute
+            return segs, binarized, valid_frames, emb, too_short, inactive
         emb_h, too_short_h, inactive_h = jax.device_get((emb, too_short, inactive))
         rows = num_chunks * seg_cfg.num_speakers
         embeddings = np.asarray(emb_h[:rows], dtype=np.float64)
