@@ -271,7 +271,12 @@ class LongFormDiarizer:
         import jax
         import jax.numpy as jnp
 
-        from ..pipelines.diarization import _ceil_to, _count_parts, _post_cluster
+        from ..pipelines.diarization import (
+            _ceil_to,
+            _count_parts,
+            _post_cluster,
+            finalize_embeddings,
+        )
 
         p = self.pipeline
         cfg = p.config
@@ -336,10 +341,7 @@ class LongFormDiarizer:
             emb_h, ts_h, inact_h, n_h, d_h = jax.device_get(
                 (emb_dev, ts_dev, inact_dev, n_dev, d_dev)
             )
-            rows = shard.num_chunks * S
-            embeddings_h = np.asarray(emb_h[:rows], dtype=np.float64)
-            embeddings_h[ts_h[:rows]] = np.nan
-            embs.append(embeddings_h.reshape(shard.num_chunks, S, -1))
+            embs.append(finalize_embeddings(emb_h, ts_h, shard.num_chunks, S))
             inacts.append(inact_h[: shard.num_chunks])
             take = min(local_n, count_plan.num_frames - gofs)
             num_acc[gofs : gofs + take] += n_h[:take]

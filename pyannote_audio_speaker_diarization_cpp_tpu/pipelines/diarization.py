@@ -99,6 +99,19 @@ def _post_cluster(segs, membership, start_frames, num_frames):
     )
 
 
+def finalize_embeddings(
+    emb_h: np.ndarray, too_short_h: np.ndarray, num_chunks: int, num_speakers: int
+) -> np.ndarray:
+    """Fetched embedding rows -> (num_chunks, S, D) float64 with NaN rows
+    for too-short masks — the one host-side finalize step shared by
+    run_chunks_device and the pipelined long-form collect
+    (parallel/longform.py)."""
+    rows = num_chunks * num_speakers
+    embeddings = np.asarray(emb_h[:rows], dtype=np.float64)
+    embeddings[np.asarray(too_short_h[:rows])] = np.nan
+    return embeddings.reshape(num_chunks, num_speakers, -1)
+
+
 def load_waveform(
     audio: Union[str, np.ndarray],
     sample_rate: Optional[int],
@@ -687,6 +700,13 @@ class SpeakerDiarizationPipeline:
         applied (documented deviation, docs/PARITY.md)."""
         if not self._device_clu_enabled or rows > self.device_cluster_rows:
             return False
+        # an explicitly LOWERED subsample cap (below the pyannote default
+        # 1000) is a deliberate cost/semantics bound — honor it; the
+        # default cap is deliberately not applied on device (docs/PARITY.md
+        # deviation 6: the chip does not need the host-speed subsample)
+        cap = self.clusterer.max_num_embeddings
+        if cap is not None and cap < 1000 and rows > cap:
+            return False
         cfg = self.config
         return not any(
             b is not None
@@ -1225,10 +1245,9 @@ class SpeakerDiarizationPipeline:
             # the later shards' device compute
             return segs, binarized, valid_frames, emb, too_short, inactive
         emb_h, too_short_h, inactive_h = jax.device_get((emb, too_short, inactive))
-        rows = num_chunks * seg_cfg.num_speakers
-        embeddings = np.asarray(emb_h[:rows], dtype=np.float64)
-        embeddings[too_short_h[:rows]] = np.nan
-        embeddings = embeddings.reshape(num_chunks, seg_cfg.num_speakers, -1)
+        embeddings = finalize_embeddings(
+            emb_h, too_short_h, num_chunks, seg_cfg.num_speakers
+        )
         return segs, binarized, valid_frames, embeddings, inactive_h[:num_chunks]
 
     def stage2_internals(

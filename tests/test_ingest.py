@@ -488,3 +488,50 @@ def test_onnx_negative_int64_data_field(tmp_path):
     name, arr = ingest._parse_tensor_proto(msg)
     assert name == "shape"
     np.testing.assert_array_equal(arr, np.asarray(vals, dtype=np.int64))
+
+
+def test_pyannet_from_onnx_gemm_exported_linears(tmp_path):
+    """Linear layers exported as single Gemm nodes (2-D inputs): the weight
+    initializer is renamed and lives INSIDE the Gemm (no separate Add node
+    to anchor on), the bias keeps its state-dict name as another Gemm
+    input. Regression for the round-4 recovery fix (the Gemm search must
+    run even when no Add node touches the bias)."""
+    rng = np.random.default_rng(8)
+    cfg = P.PyanNetConfig()
+    sd = make_pyannote_pyannet_state_dict(rng, cfg)
+
+    inits, nodes = [], []
+    skip = set()
+    for i in range(cfg.linear_layers):
+        w = sd[f"linear.{i}.weight"]
+        wname = f"onnx::Gemm_{100 + i}"
+        inits.append(_pb_tensor(wname, np.asarray(w)))
+        nodes.append(
+            _pb_node(
+                "Gemm",
+                [f"/x_{i}", wname, f"linear.{i}.bias"],
+                [f"/x_{i + 1}"],
+            )
+        )
+        skip.add(f"linear.{i}.weight")
+    w = sd["classifier.weight"]
+    inits.append(_pb_tensor("onnx::Gemm_199", np.asarray(w)))
+    nodes.append(
+        _pb_node(
+            "Gemm",
+            [f"/x_{cfg.linear_layers}", "onnx::Gemm_199", "classifier.bias"],
+            ["/logits"],
+        )
+    )
+    skip.add("classifier.weight")
+    for k, v in sd.items():
+        if k not in skip:
+            inits.append(_pb_tensor(k, np.asarray(v)))
+    path = str(tmp_path / "gemm.onnx")
+    with open(path, "wb") as f:
+        f.write(_pb_model(inits, nodes))
+
+    params = ingest.pyannet_from_onnx(path, cfg)
+    ref = convert.pyannet_from_pyannote(sd, cfg)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
