@@ -52,7 +52,6 @@ from pyannote_audio_speaker_diarization_cpp_tpu.models import convert  # noqa: E
 from pyannote_audio_speaker_diarization_cpp_tpu.pipelines.diarization import (  # noqa: E402
     SpeakerDiarizationPipeline,
 )
-from pyannote_audio_speaker_diarization_cpp_tpu.utils import debug_dump as dd  # noqa: E402
 from pyannote_audio_speaker_diarization_cpp_tpu.utils.instrumented import (  # noqa: E402
     run_with_dumps,
 )

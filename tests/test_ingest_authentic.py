@@ -45,7 +45,6 @@ from pyannote_audio_speaker_diarization_cpp_tpu.models import (  # noqa: E402
     convert,
     ingest,
 )
-from pyannote_audio_speaker_diarization_cpp_tpu.models import ecapa as E  # noqa: E402
 from pyannote_audio_speaker_diarization_cpp_tpu.models import pyannet as P  # noqa: E402
 
 

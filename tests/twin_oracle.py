@@ -31,7 +31,6 @@ dataclasses (shape metadata, no math).
 from __future__ import annotations
 
 import importlib.util
-import itertools
 import math
 import os
 import random
