@@ -53,17 +53,21 @@ def set_num_clusters(
 def filter_embeddings(
     embeddings: np.ndarray,
     max_num_embeddings: Optional[int] = None,
-    rng: Optional[np.random.Generator] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Drop NaN rows; (chunks, speakers, d) -> (N, d) + index arrays
     (Clustering.py:46-78). Optionally subsample to ``max_num_embeddings``
-    (random, order-preserving — the pyannote BaseClustering cap)."""
+    (the pyannote BaseClustering cap, Clustering.py:69-76).
+
+    Subsampling is EVENLY STRIDED over the valid rows in order
+    (keep[k] = floor(k*N/K)) — deterministic where pyannote uses the
+    unseeded global ``random`` module (so any selection is within
+    pyannote's own semantic variance), and exactly mirrored by the
+    on-device path (clustering/device.py select_train_rows), so both paths
+    cluster the identical train set."""
     chunk_idx, speaker_idx = np.where(~np.any(np.isnan(embeddings), axis=2))
-    if max_num_embeddings is not None and len(chunk_idx) > max_num_embeddings:
-        rng = rng or np.random.default_rng(0)
-        keep = np.sort(
-            rng.permutation(len(chunk_idx))[:max_num_embeddings]
-        )
+    num = len(chunk_idx)
+    if max_num_embeddings is not None and num > max_num_embeddings:
+        keep = (np.arange(max_num_embeddings) * num) // max_num_embeddings
         chunk_idx, speaker_idx = chunk_idx[keep], speaker_idx[keep]
     return embeddings[chunk_idx, speaker_idx], chunk_idx, speaker_idx
 
@@ -124,8 +128,9 @@ class AgglomerativeClustering:
     # remaining embeddings to the learned centroids (Clustering.py:12-18,
     # 69-76). _UNSET defers to config.max_num_embeddings (default 1000 —
     # pyannote-compatible); pass None explicitly to cluster on everything.
-    # Subsampling is deterministic here (seeded permutation) where pyannote
-    # uses the unseeded global random module — partition-equivalent behavior.
+    # Subsampling is deterministic here (evenly strided, see
+    # filter_embeddings) where pyannote uses the unseeded global random
+    # module — partition-equivalent behavior, device-path-identical.
     max_num_embeddings: object = dataclasses.field(default="_unset")
 
     def __post_init__(self):

@@ -200,18 +200,19 @@ class SpeakerDiarizationPipeline:
         # trips (embeddings out, membership back). "auto" (default) uses it
         # whenever the request is eligible — default AHC recipe (centroid/
         # cosine, unconstrained), no explicit speaker bounds, and at most
-        # ``device_cluster_rows`` embedding rows (~4 min of audio; longer
-        # audio and every ineligible/failed case takes the host path, which
-        # remains the oracle). The merge loop scales ~R^2 (measured: 6 ms at
-        # 384 rows, 41 ms at 1152, 65 ms at 1536 — docs/PERF.md); the
-        # default cap is where device clustering still beats the host path's
-        # two tunnel round trips on single-request latency. Deployments
-        # optimizing aggregate throughput of LONG requests may prefer a
-        # lower cap (host clustering overlaps other requests' device
-        # compute; the fused stage 3 occupies the chip). False disables;
-        # True requires a compatible clusterer.
+        # ``device_cluster_rows`` embedding rows (~17 min of audio at the
+        # default; longer audio and every ineligible/failed case takes the
+        # host path, which remains the oracle). The AHC merge loop runs on
+        # the pyannote 1000-row train subsample (host-identical strided
+        # selection), so its cost is bounded by the cap regardless of
+        # audio length (measured 15.3 ms flat above 1024 rows, 4.4 ms at
+        # 384 — docs/PERF.md); device_cluster_rows bounds only the O(rows)
+        # selection/assignment buffers. A clusterer with
+        # max_num_embeddings=None (cluster on everything) is limited to
+        # 1536 rows on device (the uncapped merge-loop affordability
+        # bound). False disables; True requires a compatible clusterer.
         device_clustering: Union[str, bool] = "auto",
-        device_cluster_rows: int = 1536,
+        device_cluster_rows: int = 6144,
         k_max: int = 8,
     ):
         self.config = config
@@ -634,7 +635,12 @@ class SpeakerDiarizationPipeline:
         # the (frames, k_max) activations + scalars. Threshold/min-size come
         # from the clusterer's own config (== the recipe defaults unless the
         # caller customized them).
-        clu_threshold, clu_mcs, k_max = self._device_clu_key() or (0.0, 0, self.k_max)
+        clu_threshold, clu_mcs, k_max, clu_cap = self._device_clu_key() or (
+            0.0,
+            0,
+            self.k_max,
+            None,
+        )
 
         def stage3(segs, emb, too_short, inactive, start_frames, num_frames):
             from ..clustering import device as devclu
@@ -647,6 +653,7 @@ class SpeakerDiarizationPipeline:
                 clu_threshold,
                 clu_mcs,
                 k_max,
+                train_cap=clu_cap,
             )
             hard = res.hard.reshape(n, S)
             membership = (hard[:, :, None] == jnp.arange(k_max)[None, None, :]) & (
@@ -675,16 +682,24 @@ class SpeakerDiarizationPipeline:
                 self._stage3,
             )
 
+    # rows affordable by the merge loop when the clusterer disables the
+    # pyannote train-set cap (max_num_embeddings=None): the loop must then
+    # cluster EVERY row, so the device path only takes requests this small
+    _UNCAPPED_DEVICE_ROWS = 1536
+
     def _device_clu_key(self):
-        """(threshold, min_cluster_size, k_max) when on-device clustering
-        is enabled and the clusterer is compatible, else None. Part of the
-        step-cache key (stage 3 compiles ALL of these in — review r4: a
-        missing k_max here let a second pipeline with a different k_max
-        reuse the wrong compiled stage 3)."""
+        """(threshold, min_cluster_size, k_max, train_cap) when on-device
+        clustering is enabled and the clusterer is compatible, else None.
+        Part of the step-cache key (stage 3 compiles ALL of these in —
+        review r4: a missing k_max here let a second pipeline with a
+        different k_max reuse the wrong compiled stage 3)."""
         if not getattr(self, "_device_clu_enabled", False):
             return None
         c = self.clusterer.config
-        return (c.threshold, c.min_cluster_size, self.k_max)
+        cap = self.clusterer.max_num_embeddings
+        # normalize "no cap" spellings (None, inf) to None
+        cap = None if cap is None or cap == float("inf") else int(cap)
+        return (c.threshold, c.min_cluster_size, self.k_max, cap)
 
     def _device_clu_eligible(
         self, rows: int, num_speakers, min_speakers, max_speakers
@@ -693,19 +708,16 @@ class SpeakerDiarizationPipeline:
 
         Explicit speaker bounds take the host path (the known-num_clusters
         dendrogram search, clustering/base.py cluster()); row counts above
-        ``device_cluster_rows`` take the host path. Within the cap the
-        device path clusters EVERY valid embedding — the pyannote
-        1000-embedding subsample (Clustering.py:69-76) is a speed cap the
-        chip does not need at these sizes, so it is deliberately not
-        applied (documented deviation, docs/PARITY.md)."""
+        ``device_cluster_rows`` take the host path. The device path applies
+        the clusterer's own pyannote train-set cap with the host-identical
+        strided selection (clustering/device.py), so within the row budget
+        the two paths cluster the same train set."""
         if not self._device_clu_enabled or rows > self.device_cluster_rows:
             return False
-        # an explicitly LOWERED subsample cap (below the pyannote default
-        # 1000) is a deliberate cost/semantics bound — honor it; the
-        # default cap is deliberately not applied on device (docs/PARITY.md
-        # deviation 6: the chip does not need the host-speed subsample)
-        cap = self.clusterer.max_num_embeddings
-        if cap is not None and cap < 1000 and rows > cap:
+        key = self._device_clu_key()
+        cap = key[3] if key is not None else None
+        if cap is None and rows > self._UNCAPPED_DEVICE_ROWS:
+            # uncapped semantics = cluster every row; only affordable small
             return False
         cfg = self.config
         return not any(

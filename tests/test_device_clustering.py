@@ -19,9 +19,11 @@ from _cfg import make_tiny1s_pipeline
 
 from pyannote_audio_speaker_diarization_cpp_tpu.clustering.base import (
     AgglomerativeClustering,
+    filter_embeddings,
 )
 from pyannote_audio_speaker_diarization_cpp_tpu.clustering.device import (
     device_cluster,
+    select_train_rows,
 )
 from pyannote_audio_speaker_diarization_cpp_tpu.config import ClusteringConfig
 
@@ -148,6 +150,121 @@ def test_invalid_but_active_rows_get_cluster_zero():
     )
     hard = np.asarray(res.hard)
     assert hard[5] == 0
+
+
+def test_train_selection_matches_host():
+    """The device strided train-set selection (select_train_rows) must pick
+    EXACTLY the rows the host cap picks (clustering/base.py
+    filter_embeddings), for N below, at, and above the cap."""
+    r = np.random.default_rng(7)
+    for R, cap in [(60, 1000), (1000, 1000), (2500, 1000), (700, 128)]:
+        valid = r.random(R) < 0.85
+        emb3 = r.normal(size=(R, 1, 8))
+        emb3[~valid] = np.nan
+        _, ci, _ = filter_embeddings(emb3, max_num_embeddings=cap)
+        host_rows = ci  # speaker axis is singleton: chunk idx == row idx
+        T = min(R, -(-cap // 128) * 128)
+        sel, tvalid, K = jax.jit(select_train_rows, static_argnums=(1, 2))(
+            jnp.asarray(valid), T, cap
+        )
+        sel, tvalid = np.asarray(sel), np.asarray(tvalid)
+        assert int(K) == len(host_rows)
+        np.testing.assert_array_equal(sel[tvalid], host_rows)
+
+
+@pytest.mark.parametrize("num_chunks", [400, 768, 1536])
+def test_partition_matches_host_capped_sizes(num_chunks):
+    """Above the pyannote 1000-row cap both paths cluster the SAME strided
+    train subsample, so partitions must stay equal across the raised
+    device_cluster_rows range (VERDICT r4 item 1: 1200-4608 rows)."""
+    r = np.random.default_rng(num_chunks)
+    emb, nanmask = _blob_embeddings(r, num_chunks, 5, dim=192, nan_frac=0.1)
+    host = _host_hard(emb, nanmask)
+    dev, num_large = _device_hard(emb, nanmask)
+    assert num_large == host.max() + 1
+    assert _partitions_equal(dev, host)
+
+
+def _near_threshold_trial(run_pair, kind, seed, param):
+    """One device-vs-host trial with inter-cluster distances straddling the
+    AHC threshold — the regime the reference itself calls chaos-sensitive
+    (reference README.md:99-101). Returns None when the device path would
+    fall back (num_large 0 or > k_max), else the Hungarian-matched row
+    disagreement fraction."""
+    dim = 64
+    r = np.random.default_rng(seed)
+    g = r.normal(size=dim)
+    g /= np.linalg.norm(g)
+    if kind == "diffuse":
+        # points on a sphere cap sized so pairwise distances sit AT the
+        # threshold: cos ~ 1/(1+t^2) with t^2 = thr^2/(2-thr^2) ~ 0.344
+        emb = g + (param / np.sqrt(dim)) * r.normal(size=(40, 3, dim))
+    else:  # blobs with centers near the critical similarity
+        K = 4
+        E = r.normal(size=(K, dim))
+        E -= np.outer(E @ g, g)
+        q, _ = np.linalg.qr(E.T)
+        E = q.T[:K]
+        centers = np.sqrt(0.744) * g + np.sqrt(1 - 0.744) * E
+        owner = r.integers(0, K, size=(40, 3))
+        emb = centers[owner] + param * r.normal(size=(40, 3, dim))
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    emb = emb.astype(np.float16).astype(np.float64)
+    nan = r.random((40, 3)) < 0.05
+    emb3 = emb.copy()
+    emb3[nan] = np.nan
+    return run_pair(emb3, nan, dim)
+
+
+def test_device_host_divergence_near_threshold():
+    """VERDICT r4 item 5: quantify the f32-vs-f64 partition divergence in
+    the chaos-sensitive regime. The full 480-trial sweep measured 0
+    divergent partitions out of 336 device-eligible trials (docs/PARITY.md
+    deviation 4); this keeps a 60-trial slice under the same bound."""
+    from scipy.optimize import linear_sum_assignment
+
+    def run_pair(emb3, nan, dim):
+        host = _host_hard(emb3, nan)
+        flat = np.nan_to_num(emb3.reshape(-1, dim)).astype(np.float32)
+        valid = ~nan.reshape(-1)
+        res = jit_cluster(
+            jnp.asarray(flat),
+            jnp.asarray(valid),
+            jnp.asarray(~valid),
+            THRESHOLD,
+            15,
+            8,
+        )
+        if not 1 <= int(res.num_large) <= 8:
+            return None  # pipeline would fall back to host: no deviation
+        dev = np.asarray(res.hard)
+        sel = host >= 0
+        ha, da = host[sel], dev[sel]
+        K = max(ha.max() + 1, da.max() + 1, 1)
+        C = np.zeros((K, K))
+        np.add.at(C, (ha, da), 1)
+        ri, ci = linear_sum_assignment(-C)
+        return 1.0 - C[ri, ci].sum() / max(len(ha), 1)
+
+    results = []
+    for t in (0.50, 0.56, 0.60, 0.64):
+        for seed in range(10):
+            results.append(
+                _near_threshold_trial(run_pair, "diffuse", seed * 13 + int(t * 100), t)
+            )
+    for noise in (0.08, 0.10):
+        for seed in range(10):
+            results.append(
+                _near_threshold_trial(
+                    run_pair, "blob", seed * 977 + int(noise * 1000), noise
+                )
+            )
+    eligible = [d for d in results if d is not None]
+    divergent = [d for d in eligible if d > 0]
+    assert len(eligible) >= 30
+    # measured rate is 0; the bound leaves headroom for platform numerics
+    assert len(divergent) / len(eligible) <= 0.05
+    assert max(eligible) <= 0.02  # worst-case row disagreement
 
 
 # ---------------------------------------------------------------------------
