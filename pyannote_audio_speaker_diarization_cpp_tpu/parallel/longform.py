@@ -24,22 +24,54 @@ greenfield TPU design for the same workload:
     gathered tensors — equal to the single-shot pipeline (tested).
 
 The same sharding doubles as the BOUNDED-MEMORY path on a single chip:
-``LongFormDiarizer(pipeline, num_shards=8)`` processes an hour-long file in
-eight slices so device memory holds one slice of chunk windows at a time.
-MEASURED on the bench chip (TPU v5e, scripts/bench_longform.py): 1.02 h of
-16 kHz audio in 12.3 s = ~297 audio-s/s sustained, holding 0.29 GB of
-windows per shard instead of 2.34 GB unsharded; per-shard d2h is ~1 MB
-(embeddings as f16 + two small count grids) because the score tensors stay
-resident on device (_run_device_resident).
+``LongFormDiarizer(pipeline, num_shards=8)`` processes an hour-long file
+in eight slices, with at most ``max_inflight_shards`` (default 3) shards'
+waveform/window working sets on device at once — dispatch runs ahead of
+the per-shard collect by that window, so fetches overlap later shards'
+compute while device high-water memory stays O(window), not O(audio
+length). When the request is eligible for on-device clustering
+(single-process, default AHC recipe, no speaker bounds), stage 3 runs
+FUSED on the device over the concatenated resident shard embeddings
+(_global_cluster_jit; train-capped exactly like the host, docs/PARITY.md
+deviation 6) and only tiny count/activation grids plus one scalar ever
+cross the tunnel. Measured hour-scale numbers live in docs/PERF.md
+("Hour-scale long-form"); per-shard d2h is ~KBs because both the score
+tensors and the embeddings stay resident (_run_device_resident).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import List, Optional, Union
 
 import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _global_cluster_jit():
+    """Jitted global stage 3 over the per-shard device-resident stage-2
+    outputs: concatenate embeddings/validity/inactivity across shards and
+    run the fused device clustering (clustering/device.py) — the long-form
+    variant of the pipeline's stage3. Compiled per shard-shape tuple
+    (near-even shard plans produce at most two distinct shapes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..clustering.device import device_cluster
+
+    @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+    def fn(embs, toos, inacts, threshold, mcs, k_max, train_cap):
+        emb = jnp.concatenate([e.astype(jnp.float32) for e in embs], axis=0)
+        valid = jnp.concatenate([~t for t in toos], axis=0)
+        inact = jnp.concatenate([i.reshape(-1) for i in inacts], axis=0)
+        res = device_cluster(
+            emb, valid, inact, threshold, mcs, k_max, train_cap=train_cap
+        )
+        return res.hard, res.num_large
+
+    return fn
 
 from ..core.annotation import Annotation
 from ..core.sliding_window import SlidingWindow
@@ -126,6 +158,13 @@ class LongFormDiarizer:
         pipeline: SpeakerDiarizationPipeline,
         num_shards: Optional[int] = None,
         comm: Optional[JaxHostComm] = None,
+        # Dispatch-ahead window: how many shards may be queued on device
+        # before the oldest one's (tiny) count-grid fetch forces its
+        # compute to drain. Keeps the fetch/compute overlap of the
+        # pipelined collect while bounding device high-water memory at
+        # O(max_inflight_shards) waveform+window working sets instead of
+        # O(total audio length) (round-4 advisor finding).
+        max_inflight_shards: int = 3,
     ):
         self.pipeline = pipeline
         self.comm = comm if comm is not None else JaxHostComm()
@@ -138,6 +177,43 @@ class LongFormDiarizer:
                 f"(num_shards={num_shards}, hosts={self.comm.process_count()})"
             )
         self.num_shards = num_shards
+        self.max_inflight_shards = max(1, max_inflight_shards)
+
+    # total padded embedding rows the fused device stage 3 accepts in
+    # long-form mode (~4.7 h of audio; the merge loop is train-cap-bounded,
+    # this only sizes the O(rows) selection/assignment buffers)
+    _DEVICE_CLU_MAX_ROWS = 65536
+
+    def _device_clu_eligible(
+        self, total_rows: int, num_speakers, min_speakers, max_speakers
+    ) -> bool:
+        """Fused device stage 3 for the WHOLE long-form request: global
+        AHC over the concatenated device-resident shard embeddings
+        (single-process only — a multi-host run must gather embeddings
+        over DCN anyway, so it keeps host clustering)."""
+        p = self.pipeline
+        if self._multihost:
+            return False
+        key = p._device_clu_key()
+        if key is None:
+            return False
+        cap = key[3]
+        if cap is None and total_rows > p._UNCAPPED_DEVICE_ROWS:
+            return False
+        if total_rows > self._DEVICE_CLU_MAX_ROWS:
+            return False
+        cfg = p.config
+        return not any(
+            b is not None
+            for b in (
+                num_speakers,
+                min_speakers,
+                max_speakers,
+                cfg.num_speakers,
+                cfg.min_speakers,
+                cfg.max_speakers,
+            )
+        )
 
     # ------------------------------------------------------------------
 
@@ -295,11 +371,50 @@ class LongFormDiarizer:
         dia_plan = p._diarization_plan(num_chunks)
         num_acc = np.zeros(count_plan.num_frames, np.float64)
         den_acc = np.zeros(count_plan.num_frames, np.float64)
+        S = seg_cfg.num_speakers
+
+        total_rows = sum(
+            p.chunk_lattice(s.num_chunks) * S for s in local_shards if s.num_chunks
+        )
+        use_devclu = self._device_clu_eligible(
+            total_rows, num_speakers, min_speakers, max_speakers
+        )
+
         embs, inacts, resident = [], [], []
-        # DISPATCH phase: queue every shard's stage-1/2 and count-part
-        # dispatches before any sync, so each shard's d2h fetch overlaps
-        # the later shards' device compute (the round-3 loop synced per
-        # shard, idling the chip during every ~0.1-0.3 s fetch)
+        # device handles retained for the fused stage 3 (and as the
+        # fallback source if it reports an out-of-range cluster count)
+        emb_handles = []
+
+        def collect_one(item):
+            """One combined device_get per shard, submission order — the
+            fetch overlaps the in-flight later shards' device compute."""
+            (shard, segs_dev, valid, emb_dev, ts_dev, inact_dev, n_dev,
+             d_dev, gofs, local_n) = item
+            if use_devclu:
+                # embeddings stay on device; only the two tiny count grids
+                # travel per shard
+                n_h, d_h = jax.device_get((n_dev, d_dev))
+            else:
+                emb_h, ts_h, inact_h, n_h, d_h = jax.device_get(
+                    (emb_dev, ts_dev, inact_dev, n_dev, d_dev)
+                )
+                embs.append(
+                    finalize_embeddings(emb_h, ts_h, shard.num_chunks, S)
+                )
+                inacts.append(inact_h[: shard.num_chunks])
+            take = min(local_n, count_plan.num_frames - gofs)
+            num_acc[gofs : gofs + take] += n_h[:take]
+            den_acc[gofs : gofs + take] += d_h[:take]
+            resident.append((shard, segs_dev, valid))
+            emb_handles.append((shard, emb_dev, ts_dev, inact_dev))
+
+        # PIPELINED dispatch with a BOUNDED in-flight window: queue up to
+        # ``max_inflight_shards`` shards' stage-1/2 + count-part dispatches
+        # before collecting the oldest one, so each shard's d2h fetch
+        # overlaps later shards' device compute while device high-water
+        # memory stays O(window), not O(total audio) (round-4 advisor
+        # finding; the round-3 loop synced per shard and idled the chip,
+        # the round-4 loop queued everything)
         pending = []
         for shard in local_shards:
             if shard.num_chunks == 0:
@@ -333,20 +448,52 @@ class LongFormDiarizer:
                 (shard, segs_dev, valid, emb_dev, ts_dev, inact_dev, n_dev,
                  d_dev, gofs, local_n)
             )
+            if len(pending) >= self.max_inflight_shards:
+                collect_one(pending.pop(0))
+        for item in pending:
+            collect_one(item)
 
-        # COLLECT phase: one combined device_get per shard, in order
-        S = seg_cfg.num_speakers
-        for (shard, segs_dev, valid, emb_dev, ts_dev, inact_dev, n_dev,
-             d_dev, gofs, local_n) in pending:
-            emb_h, ts_h, inact_h, n_h, d_h = jax.device_get(
-                (emb_dev, ts_dev, inact_dev, n_dev, d_dev)
+        hard = None
+        num_clusters = None
+        if use_devclu:
+            # ---- fused global stage 3: AHC over the concatenated
+            # device-resident shard embeddings; embeddings and membership
+            # never cross the tunnel, only num_large (a scalar) does ----
+            thr_, mcs_, k_max_, cap_ = p._device_clu_key()
+            hard_dev, num_large_dev = _global_cluster_jit()(
+                tuple(e for _, e, _, _ in emb_handles),
+                tuple(t for _, _, t, _ in emb_handles),
+                tuple(i for _, _, _, i in emb_handles),
+                thr_,
+                mcs_,
+                k_max_,
+                cap_,
             )
-            embs.append(finalize_embeddings(emb_h, ts_h, shard.num_chunks, S))
-            inacts.append(inact_h[: shard.num_chunks])
-            take = min(local_n, count_plan.num_frames - gofs)
-            num_acc[gofs : gofs + take] += n_h[:take]
-            den_acc[gofs : gofs + take] += d_h[:take]
-            resident.append((shard, segs_dev, valid))
+            num_clusters = int(jax.device_get(num_large_dev))
+            if 1 <= num_clusters <= p.k_max:
+                activations = self._post_from_hard(
+                    p, resident, hard_dev, dia_plan, F, num_chunks, p.k_max
+                )
+                return self._decode(
+                    p,
+                    activations,
+                    num_clusters,
+                    num_acc,
+                    den_acc,
+                    count_plan,
+                    dia_plan,
+                    num_samples,
+                )
+            # out-of-range cluster count: fall through to the host path —
+            # embeddings are still resident, this pays one extra fetch
+            for shard, emb_dev, ts_dev, inact_dev in emb_handles:
+                emb_h, ts_h, inact_h = jax.device_get(
+                    (emb_dev, ts_dev, inact_dev)
+                )
+                embs.append(
+                    finalize_embeddings(emb_h, ts_h, shard.num_chunks, S)
+                )
+                inacts.append(inact_h[: shard.num_chunks])
 
         D = p.ecapa_cfg.emb_dim
         if embs:
@@ -406,6 +553,71 @@ class LongFormDiarizer:
         if self._multihost:
             activations = self.comm.allgather(activations).sum(axis=0)
 
+        return self._decode(
+            p,
+            activations,
+            num_clusters,
+            num_acc,
+            den_acc,
+            count_plan,
+            dia_plan,
+            num_samples,
+        )
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _post_from_hard(p, resident, hard_dev, dia_plan, F, num_chunks, k_max):
+        """Per-shard post-clustering aggregation driven by the
+        DEVICE-RESIDENT global hard labels: dispatch every shard's
+        _post_cluster_from_hard (membership derived on device), then
+        collect and stitch by addition."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..pipelines.diarization import _ceil_to, _post_cluster_from_hard
+
+        seg_cfg = p.config.segmentation
+        acts_dev = []
+        ofs = 0
+        for shard, segs_dev, valid in resident:
+            lo, hi = shard.chunk_lo, shard.chunk_hi
+            gofs = int(dia_plan.start_frames[lo])
+            dstart = dia_plan.start_frames[lo:hi] - gofs
+            local_n = _ceil_to(int(dstart[-1]) + F, 512)
+            dstart_pad = np.zeros(valid.shape[0], np.int32)
+            dstart_pad[: hi - lo] = dstart
+            acts_dev.append(
+                (
+                    _post_cluster_from_hard(
+                        segs_dev,
+                        hard_dev,
+                        jnp.asarray(ofs, jnp.int32),
+                        jnp.asarray(dstart_pad),
+                        local_n,
+                        k_max,
+                    ),
+                    gofs,
+                    local_n,
+                )
+            )
+            ofs += valid.shape[0] * seg_cfg.num_speakers
+        activations = np.zeros((dia_plan.num_frames, k_max), np.float64)
+        for act_dev, gofs, local_n in acts_dev:
+            act = jax.device_get(act_dev)
+            take = min(local_n, dia_plan.num_frames - gofs)
+            activations[gofs : gofs + take] += act[:take]
+        return activations
+
+    @staticmethod
+    def _decode(
+        p, activations, num_clusters, num_acc, den_acc, count_plan, dia_plan,
+        num_samples,
+    ) -> Annotation:
+        """Shared final decode: stitched count grids -> per-frame count,
+        top-count binarization, hysteresis/support timeline."""
+        cfg = p.config
+        seg_cfg = cfg.segmentation
         eps = float(np.finfo(np.float64).eps)
         count_data = np.where(den_acc == 0.0, 0.0, num_acc / np.maximum(den_acc, eps))
         count = np.rint(count_data).astype(np.int64)

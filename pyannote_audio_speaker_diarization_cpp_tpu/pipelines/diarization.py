@@ -77,6 +77,27 @@ def _count_parts(binarized, valid_frames, start_frames, num_frames, left, right)
     return num[:, 0], den[:, 0]
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _post_cluster_from_hard(segs, hard_all, ofs, start_frames, num_frames, k_max):
+    """_post_cluster driven by a DEVICE-RESIDENT hard-label vector (the
+    long-form fused stage 3, parallel/longform.py): slice this shard's
+    padded block out of the global hard labels at traced offset ``ofs``,
+    derive the one-hot membership on device, and aggregate — neither the
+    embeddings nor the membership ever cross the host boundary."""
+    n, F, S = segs.shape
+    hard = jax.lax.dynamic_slice(hard_all, (ofs,), (n * S,)).reshape(n, S)
+    membership = (hard[:, :, None] == jnp.arange(k_max)[None, None, :]) & (
+        hard >= 0
+    )[:, :, None]
+    masked = jnp.where(membership[:, None, :, :], segs[..., None], -jnp.inf)
+    clustered = jnp.max(masked, axis=2)
+    has = jnp.any(membership, axis=1)[:, None, :]
+    clustered = jnp.where(has, clustered, jnp.nan)
+    return agg_aggregate(
+        clustered, start_frames, num_frames, missing=0.0, skip_average=True
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def _post_cluster(segs, membership, start_frames, num_frames):
     """Device-side post-clustering: per-cluster max over member local

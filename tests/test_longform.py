@@ -218,3 +218,69 @@ def test_multihost_branch_more_hosts_than_chunks(tiny_pipeline):
     results = _run_simulated_hosts(tiny_pipeline, audio, world=3)
     for rank, ann in enumerate(results):
         assert str(ann) == str(single), f"host {rank} diverged from single-shot"
+
+
+# ---------------------------------------------------------------------------
+# fused device stage 3 in long-form mode (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_longform_fused_stage3_engages_and_matches_host(tiny_pipeline):
+    """Eligible single-process long-form runs must take the fused device
+    stage 3 (embeddings never fetched) and match the host-clustering
+    long-form result."""
+    from _cfg import make_tiny1s_pipeline
+
+    rng = np.random.default_rng(21)
+    audio = (0.1 * rng.normal(size=9 * 16000 + 555)).astype(np.float32)
+    lf_dev = LongFormDiarizer(tiny_pipeline, num_shards=3)
+    assert lf_dev._device_clu_eligible(100, None, None, None)
+    p_host = make_tiny1s_pipeline(device_clustering=False)
+    lf_host = LongFormDiarizer(p_host, num_shards=3)
+    assert not lf_host._device_clu_eligible(100, None, None, None)
+    # prove the fused path actually ran: host clustering must not be called
+    real_clusterer = tiny_pipeline.clusterer
+    calls = []
+
+    class _Spy:
+        config = real_clusterer.config
+        max_num_embeddings = real_clusterer.max_num_embeddings
+        constrained_assignment = real_clusterer.constrained_assignment
+
+        def __call__(self, *a, **k):
+            calls.append(1)
+            return real_clusterer(*a, **k)
+
+    tiny_pipeline.clusterer = _Spy()
+    try:
+        dev_str = str(lf_dev(audio))
+    finally:
+        tiny_pipeline.clusterer = real_clusterer
+    assert not calls, "fused long-form stage 3 fell back to host clustering"
+    assert dev_str == str(lf_host(audio))
+
+
+def test_longform_bounds_take_host_path(tiny_pipeline):
+    """Explicit speaker bounds must route long-form to host clustering
+    (the dendrogram search is host-only) and still produce the host
+    answer."""
+    from _cfg import make_tiny1s_pipeline
+
+    rng = np.random.default_rng(22)
+    audio = (0.1 * rng.normal(size=6 * 16000)).astype(np.float32)
+    lf = LongFormDiarizer(tiny_pipeline, num_shards=2)
+    assert not lf._device_clu_eligible(100, 2, None, None)
+    p_host = make_tiny1s_pipeline(device_clustering=False)
+    got = lf(audio, num_speakers=2)
+    want = LongFormDiarizer(p_host, num_shards=2)(audio, num_speakers=2)
+    assert str(got) == str(want)
+
+
+def test_longform_inflight_window_one_equals_full_pipeline(tiny_pipeline):
+    """max_inflight_shards=1 (strict per-shard sync) must be result-equal
+    to the default window — the window is a memory/overlap knob only."""
+    rng = np.random.default_rng(23)
+    audio = (0.1 * rng.normal(size=8 * 16000 + 100)).astype(np.float32)
+    a = LongFormDiarizer(tiny_pipeline, num_shards=4, max_inflight_shards=1)(audio)
+    b = LongFormDiarizer(tiny_pipeline, num_shards=4)(audio)
+    assert str(a) == str(b)
