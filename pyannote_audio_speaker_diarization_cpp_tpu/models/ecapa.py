@@ -224,6 +224,95 @@ def _attentive_stats_pool(x, p, cfg, lengths, precision, asp_backend="auto"):
     return jnp.concatenate([mean, std], axis=1)
 
 
+# ---------------------------------------------------------------------------
+# channels-LAST (NHC / time-major) trunk — VERDICT r4 item 2 experiment.
+# Identical math to the NCH path on the SAME torch-layout params; the
+# activations carry (B, T, C) end-to-end (features arrive time-major, so
+# there is no entry transpose either) and every time reduction (SE mean,
+# ASP stats/softmax) runs over the second-major axis.
+# ---------------------------------------------------------------------------
+
+
+def _tdnn_block_nhc(x, p, dilation=1, precision=L.DEFAULT_PRECISION,
+                    conv=L.conv1d_nhc):
+    out = conv(x, p["conv"], dilation=dilation, padding="same",
+               pad_mode="reflect", precision=precision)
+    return L.batchnorm1d_nlc(jax.nn.relu(out), p["bn"])
+
+
+def _res2net_block_nhc(x, p, dilation, scale, precision, conv=L.conv1d_nhc):
+    parts = jnp.split(x, scale, axis=2)
+    outs = [parts[0]]
+    y = None
+    for i in range(1, scale):
+        xi = parts[i] if i == 1 else parts[i] + y
+        y = _tdnn_block_nhc(xi, p["blocks"][i - 1], dilation=dilation,
+                            precision=precision, conv=conv)
+        outs.append(y)
+    return jnp.concatenate(outs, axis=2)
+
+
+def _se_block_nhc(x, p, lengths, precision, conv=L.conv1d_nhc):
+    T = x.shape[1]
+    if lengths is None:
+        s = jnp.mean(x, axis=1, keepdims=True)
+    else:
+        mask = L.length_mask(lengths, T, x.dtype)[:, :, None]
+        total = jnp.sum(mask, axis=1, keepdims=True)
+        s = jnp.sum(x * mask, axis=1, keepdims=True) / total
+    s = jax.nn.relu(conv(s, p["conv1"], precision=precision))
+    s = jax.nn.sigmoid(conv(s, p["conv2"], precision=precision))
+    return x * s
+
+
+def _se_res2net_block_nhc(x, p, cfg, idx, lengths, precision,
+                          conv=L.conv1d_nhc):
+    residual = x
+    out = _tdnn_block_nhc(x, p["tdnn1"], precision=precision, conv=conv)
+    out = _res2net_block_nhc(out, p["res2net"], cfg.dilations[idx],
+                             cfg.res2net_scale, precision, conv=conv)
+    out = _tdnn_block_nhc(out, p["tdnn2"], precision=precision, conv=conv)
+    out = _se_block_nhc(out, p["se"], lengths, precision, conv=conv)
+    return out + residual
+
+
+def _masked_stats_nhc(x, m, eps):
+    """x (B, T, C), weights m (B, T, 1|C) summing to 1 over time."""
+    mean = jnp.sum(m * x, axis=1)
+    sq = jnp.sum(m * jnp.square(x), axis=1)
+    var = jnp.maximum(sq - jnp.square(mean), 0.0)
+    std = jnp.sqrt(jnp.maximum(var, eps))
+    return mean, std
+
+
+def _attentive_stats_pool_nhc(x, p, cfg, lengths, precision,
+                              conv=L.conv1d_nhc):
+    """(B, T, C) -> (B, 2C); same concat-free global-context formulation as
+    the NCH path, with the time reduce over the major axis."""
+    B, T, C = x.shape
+    if lengths is None:
+        lengths = jnp.ones((B,), x.dtype)
+    mask = L.length_mask(lengths, T, x.dtype)[:, :, None]
+    if cfg.global_context:
+        total = jnp.sum(mask, axis=1, keepdims=True)
+        mean, std = _masked_stats_nhc(x, mask / total, cfg.eps)
+        w = p["tdnn"]["conv"]["weight"]  # (A, 3C, 1)
+        wx = {"weight": w[:, :C], "bias": p["tdnn"]["conv"]["bias"]}
+        pre = conv(x, wx, precision=precision)
+        const = jnp.dot(mean, w[:, C : 2 * C, 0].T, precision=precision)
+        const = const + jnp.dot(std, w[:, 2 * C :, 0].T, precision=precision)
+        attn = L.batchnorm1d_nlc(
+            jax.nn.relu(pre + const[:, None, :]), p["tdnn"]["bn"]
+        )
+    else:
+        attn = _tdnn_block_nhc(x, p["tdnn"], precision=precision, conv=conv)
+    attn = conv(jnp.tanh(attn), p["conv"], precision=precision)
+    attn = jnp.where(mask == 0, -jnp.inf, attn)
+    attn = jax.nn.softmax(attn, axis=1)
+    mean, std = _masked_stats_nhc(x, attn, cfg.eps)
+    return jnp.concatenate([mean, std], axis=1)
+
+
 def ecapa_forward(
     params: Dict,
     feats: jnp.ndarray,
@@ -231,13 +320,38 @@ def ecapa_forward(
     cfg: EcapaConfig = EcapaConfig(),
     precision=L.DEFAULT_PRECISION,
     asp_backend: str = "auto",
+    layout: str = "nch",
 ) -> jnp.ndarray:
     """(B, T, n_mels) features, (B,) relative lengths -> (B, emb_dim).
 
     Mirrors speechbrain ECAPA_TDNN.forward as exported to emd4.onnx
     (reference embeddings/export3.py:560-627): transpose to channels-first,
     block chain with skip-cat of blocks 1-3, MFA, ASP, BN, fc.
+
+    layout="nhc" runs the whole trunk channels-last/time-major on the same
+    parameters (no entry transpose, time reductions over the major axis) —
+    bit-compatible up to f32 reassociation, tested. Measured device time
+    for both layouts is in docs/PERF.md's stage-2 experiment table.
     """
+    if layout in ("nhc", "gemm"):
+        conv = L.conv1d_gemm if layout == "gemm" else L.conv1d_nhc
+        x0 = _tdnn_block_nhc(feats, params["block0"], dilation=cfg.dilations[0],
+                             precision=precision, conv=conv)
+        x1 = _se_res2net_block_nhc(x0, params["block1"], cfg, 1, lengths,
+                                   precision, conv=conv)
+        x2 = _se_res2net_block_nhc(x1, params["block2"], cfg, 2, lengths,
+                                   precision, conv=conv)
+        x3 = _se_res2net_block_nhc(x2, params["block3"], cfg, 3, lengths,
+                                   precision, conv=conv)
+        x = jnp.concatenate([x1, x2, x3], axis=2)
+        x = _tdnn_block_nhc(x, params["mfa"], dilation=cfg.dilations[-1],
+                            precision=precision, conv=conv)
+        pooled = _attentive_stats_pool_nhc(
+            x, params["asp"], cfg, lengths, precision, conv=conv
+        )
+        pooled = L.batchnorm1d_nlc(pooled, params["asp_bn"])
+        emb = conv(pooled[:, None, :], params["fc"], precision=precision)
+        return emb[:, 0, :]
     x = jnp.swapaxes(feats, 1, 2)  # (B, n_mels, T)
     x0 = _tdnn_block(x, params["block0"], dilation=cfg.dilations[0], precision=precision)
     x1 = _se_res2net_block(x0, params["block1"], cfg, 1, lengths, precision)

@@ -126,6 +126,93 @@ def linear(x: jnp.ndarray, p: Params, precision=DEFAULT_PRECISION) -> jnp.ndarra
     return out
 
 
+def conv1d_nhc(
+    x: jnp.ndarray,
+    p: Params,
+    stride: int = 1,
+    dilation: int = 1,
+    padding: str | int = 0,
+    pad_mode: str = "zeros",
+    precision=DEFAULT_PRECISION,
+) -> jnp.ndarray:
+    """(B, T, C_in) -> (B, T', C_out): conv1d in channels-LAST layout.
+
+    Same math and torch-OIH parameter layout as conv1d — the weight is
+    transposed to HIO in-graph (a few MB once per dispatch; XLA hoists it
+    out of any scan). Exists for the whole-trunk time-major ECAPA variant
+    (models/ecapa.py layout="nhc"), where the activations carry T on the
+    second axis end-to-end so the ASP time reduction never fights a
+    channel-minor physical layout.
+    """
+    w = jnp.transpose(p["weight"], (2, 1, 0))  # (k, C_in, C_out)
+    k = w.shape[0]
+    if padding == "same":
+        pad = (k - 1) * dilation // 2
+        if pad_mode == "reflect":
+            x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+            pads = [(0, 0)]
+        else:
+            pads = [(pad, pad)]
+    else:
+        pads = [(int(padding), int(padding))]
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=pads,
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        precision=precision,
+    )
+    if "bias" in p:
+        out = out + p["bias"]
+    return out
+
+
+def batchnorm1d_nlc(x: jnp.ndarray, p: Params, eps: float = 1e-5) -> jnp.ndarray:
+    """Inference-mode BatchNorm1d over channels-LAST (B, C) or (B, T, C)."""
+    return (x - p["running_mean"]) * jax.lax.rsqrt(
+        p["running_var"] + eps
+    ) * p["weight"] + p["bias"]
+
+
+def conv1d_gemm(
+    x: jnp.ndarray,
+    p: Params,
+    dilation: int = 1,
+    padding: str | int = 0,
+    pad_mode: str = "zeros",
+    precision=DEFAULT_PRECISION,
+) -> jnp.ndarray:
+    """(B, T, C_in) -> (B, T, C_out) "same" conv1d as k shifted GEMMs.
+
+    Identical math to conv1d_nhc expressed without a convolution HLO —
+    each kernel tap is a (B, T, C_in) @ (C_in, C_out) dot on a shifted
+    time slice, so XLA sees plain dots it can lay out/fuse like the rest
+    of the trunk (stage-2 layout experiment, docs/PERF.md). Stride 1,
+    "same" geometry only (what every ECAPA conv uses).
+    """
+    w = p["weight"]  # (O, I, k)
+    k = w.shape[-1]
+    pad = (k - 1) * dilation // 2
+    if k > 1:
+        mode = "reflect" if pad_mode == "reflect" else "constant"
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode=mode)
+    else:
+        xp = x
+    T = x.shape[1]
+    out = None
+    for tap in range(k):
+        piece = jax.lax.dynamic_slice_in_dim(xp, tap * dilation, T, axis=1)
+        term = jnp.einsum(
+            "btc,co->bto", piece, w[:, :, tap].T, precision=precision
+        )
+        out = term if out is None else out + term
+    if "bias" in p:
+        out = out + p["bias"]
+    return out
+
+
 def batchnorm1d(x: jnp.ndarray, p: Params, eps: float = 1e-5) -> jnp.ndarray:
     """Inference-mode BatchNorm1d over (B, C) or (B, C, T)."""
     shape = (1, -1) if x.ndim == 2 else (1, -1, 1)

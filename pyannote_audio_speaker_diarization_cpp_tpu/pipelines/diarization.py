@@ -235,6 +235,13 @@ class SpeakerDiarizationPipeline:
         device_clustering: Union[str, bool] = "auto",
         device_cluster_rows: int = 6144,
         k_max: int = 8,
+        # ECAPA trunk activation layout: "nch" (channels-second, the
+        # round-1..4 formulation) or "nhc" (whole-trunk channels-last /
+        # time-major — VERDICT r4 item 2 experiment; same math on the same
+        # params, tested bit-compatible). Measured stage-2 device time for
+        # both is in docs/PERF.md's experiment table; the default is the
+        # measured winner.
+        ecapa_layout: str = "nch",
     ):
         self.config = config
         # model-architecture overrides (converted checkpoints with non-recipe
@@ -287,6 +294,11 @@ class SpeakerDiarizationPipeline:
         # visible to the norms; up to ~0.008 sigmoid deviation on the
         # orphan's frames).
         self.exact_orphan = exact_orphan
+        if ecapa_layout not in ("nch", "nhc", "gemm"):
+            raise ValueError(
+                f"ecapa_layout must be 'nch', 'nhc' or 'gemm', got {ecapa_layout!r}"
+            )
+        self.ecapa_layout = ecapa_layout
         self.profile = profile
         self.timings = StageTimings()
         self.k_max = k_max
@@ -321,6 +333,7 @@ class SpeakerDiarizationPipeline:
                 self.precision,
                 self.frontend_backend,
                 self.exact_orphan,
+                self.ecapa_layout,
                 id(self.mesh) if self.mesh is not None else None,
                 self._device_clu_key(),
             )
@@ -440,6 +453,7 @@ class SpeakerDiarizationPipeline:
                 self.ecapa_cfg,
                 precision=precision,
                 asp_backend=asp_backend,
+                layout=self.ecapa_layout,
             )
             if with_internals:
                 return emb.astype(jnp.float32), too_short, signals, wav_lens

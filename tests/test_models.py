@@ -418,3 +418,33 @@ def test_bilstm_fused_equals_two_scan_reference():
         fused = np.asarray(L.bilstm_stack(x, layers, valid=valid, fused=True))
         ref = np.asarray(L.bilstm_stack(x, layers, valid=valid, fused=False))
         np.testing.assert_allclose(fused, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_ecapa_layouts_equivalent():
+    """The channels-last (nhc) and shifted-GEMM (gemm) trunk formulations
+    (docs/PERF.md round-5 stage-2 layout experiment) must match the NCH
+    path on the same parameters: nhc bit-identical, gemm within f32
+    reassociation."""
+    import jax
+    import jax.numpy as jnp
+
+    from pyannote_audio_speaker_diarization_cpp_tpu.models import ecapa as E
+
+    cfg = E.EcapaConfig(
+        in_channels=16,
+        channels=(64, 64, 64, 64, 192),
+        attention_channels=32,
+        se_channels=32,
+        res2net_scale=4,
+        emb_dim=24,
+    )
+    params = E.init_ecapa(jax.random.PRNGKey(0), cfg)
+    feats = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 57, 16)).astype(np.float32)
+    )
+    lens = jnp.asarray([1.0, 0.8, 0.5, 0.93], jnp.float32)
+    ref = E.ecapa_forward(params, feats, lens, cfg)
+    nhc = E.ecapa_forward(params, feats, lens, cfg, layout="nhc")
+    gemm = E.ecapa_forward(params, feats, lens, cfg, layout="gemm")
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(nhc))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(gemm), atol=1e-6)
