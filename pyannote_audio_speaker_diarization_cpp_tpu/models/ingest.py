@@ -417,8 +417,22 @@ def _parse_tensor_proto(buf: bytes) -> Tuple[str, np.ndarray]:
     return name, arr.reshape(dims) if dims else arr.reshape(())
 
 
+def _parse_attribute_proto(buf: bytes) -> Tuple[str, Any]:
+    """AttributeProto -> (name, value) for the scalar kinds the ingest
+    paths inspect (int ``i``=3, float ``f``=2); other kinds yield None."""
+    name, value = "", None
+    for field, _wire, val in _iter_fields(buf):
+        if field == 1:
+            name = val.decode("utf-8")
+        elif field == 2:  # float f (fixed32)
+            value = struct.unpack("<f", struct.pack("<I", val))[0]
+        elif field == 3:  # int i (varint, zigzag NOT used by onnx here)
+            value = int(val)
+    return name, value
+
+
 def _parse_node_proto(buf: bytes) -> Dict[str, Any]:
-    node = {"inputs": [], "outputs": [], "name": "", "op_type": ""}
+    node = {"inputs": [], "outputs": [], "name": "", "op_type": "", "attrs": {}}
     for field, _wire, val in _iter_fields(buf):
         if field == 1:
             node["inputs"].append(val.decode("utf-8"))
@@ -428,6 +442,10 @@ def _parse_node_proto(buf: bytes) -> Dict[str, Any]:
             node["name"] = val.decode("utf-8")
         elif field == 4:
             node["op_type"] = val.decode("utf-8")
+        elif field == 5:
+            aname, aval = _parse_attribute_proto(val)
+            if aname:
+                node["attrs"][aname] = aval
     return node
 
 
@@ -544,7 +562,23 @@ def pyannet_from_onnx(path: str, cfg: PyanNetConfig = PyanNetConfig()) -> Dict:
                     and bias_name in n["inputs"]
                     and n["inputs"][1] in inits
                 ):
-                    sd[weight_name] = np.asarray(inits[n["inputs"][1]])
+                    attrs = n.get("attrs", {})
+                    alpha = attrs.get("alpha", 1.0)
+                    beta = attrs.get("beta", 1.0)
+                    if not (
+                        abs(alpha - 1.0) < 1e-6 and abs(beta - 1.0) < 1e-6
+                    ):
+                        raise ValueError(
+                            f"{path}: Gemm for {weight_name} has "
+                            f"alpha={alpha}/beta={beta}; only 1.0 is "
+                            "supported"
+                        )
+                    w = np.asarray(inits[n["inputs"][1]])
+                    # torch exports transB=1 (weight already (out, in));
+                    # other exporters may emit transB=0 with (in, out)
+                    if not attrs.get("transB", 0):
+                        w = np.ascontiguousarray(w.T)
+                    sd[weight_name] = w
                     recovered = True
         if not recovered:
             raise ValueError(

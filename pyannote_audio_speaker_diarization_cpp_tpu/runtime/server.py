@@ -146,9 +146,20 @@ def make_handler(service: DiarizationService, max_request_bytes: int = 256 << 20
             def q_int(name):
                 return int(query[name][0]) if name in query else None
 
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                if length < 0:
+                    raise ValueError("negative Content-Length")
+            except (TypeError, ValueError):
+                # malformed header: answer 400 instead of dropping the
+                # connection with no HTTP response (round-4 advisor)
+                self._send(400, b'{"error": "bad Content-Length"}')
+                return
             if length > max_request_bytes:
-                # refuse before reading the body into memory
+                # refuse before reading the body into memory; the unread
+                # body is still on the socket, so close the connection
+                # instead of leaving the keep-alive stream desynchronized
+                self.close_connection = True
                 self._send(
                     413,
                     json.dumps(

@@ -119,10 +119,16 @@ def bench_native_ahc(full: bool = False):
         print(f"  N={n:6d}: {msg}", flush=True)
 
 
-def bench_streaming(minutes: float = 20.0, block_s: float = 1.0):
+def bench_streaming(minutes: float = 20.0, block_s: float = 1.0, schedule: str = "fixed"):
     """Simulated live stream: feed `block_s`-second blocks, report per-feed
-    emission latency (incremental centroid assignment between full
-    reclusters) and the realtime factor."""
+    emission latency and the realtime factor.
+
+    Uses the trained gate checkpoint when committed (real silences -> the
+    round-5 frozen-prefix decode engages, like production audio would;
+    random weights produce wall-to-wall activity, the decode's worst case),
+    and reports latency percentiles split by emission type — incremental
+    emissions (frozen-prefix suffix decode) vs full-recluster emissions."""
+    from pyannote_audio_speaker_diarization_cpp_tpu.models import convert
     from pyannote_audio_speaker_diarization_cpp_tpu.pipelines.streaming import (
         StreamingDiarizer,
     )
@@ -132,8 +138,31 @@ def bench_streaming(minutes: float = 20.0, block_s: float = 1.0):
     n = int(minutes * 60 * 16000)
     waveform = np.tile(base, int(np.ceil(n / len(base))))[:n]
 
-    pipeline = SpeakerDiarizationPipeline(seg_batch=32, emb_batch=32)
-    stream = StreamingDiarizer(pipeline, emit_every=8, recluster_every=4)
+    ckpt = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests",
+        "goldens",
+        "gate_ckpt",
+    )
+    kwargs = {}
+    if os.path.isdir(ckpt):
+        sys.path.insert(
+            0,
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
+            ),
+        )
+        from _cfg import SMALL_ECAPA, SMALL_PYANNET
+
+        kwargs = dict(
+            params=convert.load_checkpoint(ckpt),
+            pyannet_cfg=SMALL_PYANNET,
+            ecapa_cfg=SMALL_ECAPA,
+        )
+    pipeline = SpeakerDiarizationPipeline(seg_batch=32, emb_batch=32, **kwargs)
+    stream = StreamingDiarizer(
+        pipeline, emit_every=8, recluster_every=4, recluster_schedule=schedule
+    )
     block = int(block_s * 16000)
     t0 = time.perf_counter()
     emissions = 0
@@ -143,16 +172,42 @@ def bench_streaming(minutes: float = 20.0, block_s: float = 1.0):
     stream.flush()
     wall = time.perf_counter() - t0
     lats = np.asarray(stream.feed_latencies)
+    kinds = np.zeros(len(lats), bool)
+    kinds[[e for e in stream.recluster_emissions if e < len(lats)]] = True
+    inc, rec_ = lats[~kinds], lats[kinds]
+    frozen = getattr(stream, "_seam_cidx", 0)
     print(
-        f"\nstreaming: {minutes:.0f} min in {wall:.1f} s "
+        f"\nstreaming ({'gate ckpt' if kwargs else 'random weights'}, "
+        f"{schedule} reclusters x{len(rec_)}): "
+        f"{minutes:.0f} min in {wall:.1f} s "
         f"({minutes*60/wall:.1f}x realtime) | {emissions} emissions | "
-        f"emit latency mean {lats.mean()*1e3:.0f} ms / p95 "
-        f"{np.percentile(lats, 95)*1e3:.0f} ms / max {lats.max()*1e3:.0f} ms",
+        f"all: mean {lats.mean()*1e3:.0f} / p95 "
+        f"{np.percentile(lats, 95)*1e3:.0f} / max {lats.max()*1e3:.0f} ms | "
+        f"incremental: mean {inc.mean()*1e3:.0f} / p95 "
+        f"{np.percentile(inc, 95)*1e3:.0f} ms | recluster: mean "
+        f"{rec_.mean()*1e3:.0f} / p95 {np.percentile(rec_, 95)*1e3:.0f} ms | "
+        f"frozen frames {frozen}",
+        flush=True,
+    )
+    # flat-p95 evidence: first vs last quarter of the stream's incremental
+    # emissions
+    q = max(len(inc) // 4, 1)
+    print(
+        f"  incremental p95 first-quarter {np.percentile(inc[:q], 95)*1e3:.0f} ms"
+        f" vs last-quarter {np.percentile(inc[-q:], 95)*1e3:.0f} ms | "
+        f"recluster first {np.percentile(rec_[:max(len(rec_)//4,1)], 95)*1e3:.0f}"
+        f" vs last {np.percentile(rec_[-max(len(rec_)//4,1):], 95)*1e3:.0f} ms",
         flush=True,
     )
 
 
 if __name__ == "__main__":
+    if "--streaming" in sys.argv:
+        i = sys.argv.index("--streaming")
+        minutes = float(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 20.0
+        sched = "doubling" if "--doubling" in sys.argv else "fixed"
+        bench_streaming(minutes, schedule=sched)
+        raise SystemExit(0)
     args = [a for a in sys.argv[1:] if a != "--full-ahc"]
     hours = float(args[0]) if args else 1.0
     shards = int(args[1]) if len(args) > 1 else 8

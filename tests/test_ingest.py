@@ -187,11 +187,16 @@ def _pb_tensor(name, arr):
     return msg
 
 
-def _pb_node(op_type, inputs, outputs, name=""):
+def _pb_node(op_type, inputs, outputs, name="", int_attrs=None):
     msg = b"".join(_pb_field(1, 2, i.encode()) for i in inputs)
     msg += b"".join(_pb_field(2, 2, o.encode()) for o in outputs)
     msg += _pb_field(3, 2, name.encode())
     msg += _pb_field(4, 2, op_type.encode())
+    for aname, aval in (int_attrs or {}).items():
+        attr = _pb_field(1, 2, aname.encode())  # AttributeProto.name
+        attr += _pb_field(3, 0, _pb_varint(aval))  # AttributeProto.i
+        attr += _pb_field(20, 0, _pb_varint(2))  # type = INT
+        msg += _pb_field(5, 2, attr)
     return msg
 
 
@@ -511,6 +516,7 @@ def test_pyannet_from_onnx_gemm_exported_linears(tmp_path):
                 "Gemm",
                 [f"/x_{i}", wname, f"linear.{i}.bias"],
                 [f"/x_{i + 1}"],
+                int_attrs={"transB": 1},
             )
         )
         skip.add(f"linear.{i}.weight")
@@ -521,6 +527,7 @@ def test_pyannet_from_onnx_gemm_exported_linears(tmp_path):
             "Gemm",
             [f"/x_{cfg.linear_layers}", "onnx::Gemm_199", "classifier.bias"],
             ["/logits"],
+            int_attrs={"transB": 1},
         )
     )
     skip.add("classifier.weight")
@@ -528,6 +535,52 @@ def test_pyannet_from_onnx_gemm_exported_linears(tmp_path):
         if k not in skip:
             inits.append(_pb_tensor(k, np.asarray(v)))
     path = str(tmp_path / "gemm.onnx")
+    with open(path, "wb") as f:
+        f.write(_pb_model(inits, nodes))
+
+    params = ingest.pyannet_from_onnx(path, cfg)
+    ref = convert.pyannet_from_pyannote(sd, cfg)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pyannet_from_onnx_gemm_transb0(tmp_path):
+    """Non-torch exporters may emit Gemm with transB=0 and the weight in
+    (in, out) layout — the recovery must transpose instead of silently
+    ingesting a transposed weight (round-4 advisor finding)."""
+    rng = np.random.default_rng(9)
+    cfg = P.PyanNetConfig()
+    sd = make_pyannote_pyannet_state_dict(rng, cfg)
+
+    inits, nodes = [], []
+    skip = set()
+    for i in range(cfg.linear_layers):
+        w = sd[f"linear.{i}.weight"]
+        wname = f"onnx::Gemm_{300 + i}"
+        inits.append(_pb_tensor(wname, np.ascontiguousarray(np.asarray(w).T)))
+        nodes.append(
+            _pb_node(
+                "Gemm",
+                [f"/x_{i}", wname, f"linear.{i}.bias"],
+                [f"/x_{i + 1}"],
+                int_attrs={"transB": 0},
+            )
+        )
+        skip.add(f"linear.{i}.weight")
+    w = sd["classifier.weight"]
+    inits.append(_pb_tensor("onnx::Gemm_399", np.ascontiguousarray(np.asarray(w).T)))
+    nodes.append(
+        _pb_node(
+            "Gemm",
+            [f"/x_{cfg.linear_layers}", "onnx::Gemm_399", "classifier.bias"],
+            ["/logits"],
+        )  # attribute OMITTED: the ONNX default is transB=0
+    )
+    skip.add("classifier.weight")
+    for k, v in sd.items():
+        if k not in skip:
+            inits.append(_pb_tensor(k, np.asarray(v)))
+    path = str(tmp_path / "gemm_tb0.onnx")
     with open(path, "wb") as f:
         f.write(_pb_model(inits, nodes))
 

@@ -115,7 +115,7 @@ def test_running_count_grids_bitwise_equal_oneshot(tiny_pipeline):
     for block in np.array_split(audio, 7):
         if stream.feed(block) is None:
             continue
-        binz = np.concatenate(stream._binarized, axis=0)
+        binz = stream._binarized.view()
         covered = (stream._done_chunks - 1) * seg.step_size + seg.window_size
         ns = min(stream.total_samples, covered)
         chunk_frames = SlidingWindow(0.0, seg.step, seg.duration, num_samples=ns)
@@ -223,3 +223,64 @@ def test_flush_partition_equivalent_to_device_clustering_offline(
         return sorted(map(frozenset, g.values()), key=sorted)
 
     assert grouping(flush_turns) == grouping(off_turns)
+
+
+# ---------------------------------------------------------------------------
+# frozen-prefix incremental decode (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_frozen_prefix_decode_engages_and_is_exact(reference_wav_path):
+    """With a trained checkpoint (real silences -> count==0 spans) the
+    frozen-prefix decode must (a) actually engage and (b) leave every
+    emission and the flush STRING-IDENTICAL to a stream with freezing
+    disabled (full decode every emission)."""
+    import dataclasses as dc
+    import os
+
+    from pyannote_audio_speaker_diarization_cpp_tpu.config import DEFAULT_CONFIG
+    from pyannote_audio_speaker_diarization_cpp_tpu.io import wav as wavio
+    from pyannote_audio_speaker_diarization_cpp_tpu.models import convert
+    from pyannote_audio_speaker_diarization_cpp_tpu.pipelines.diarization import (
+        SpeakerDiarizationPipeline,
+    )
+    from _cfg import SMALL_ECAPA, SMALL_PYANNET
+
+    ckpt = os.path.join(os.path.dirname(__file__), "goldens", "gate_ckpt")
+    if not os.path.isdir(ckpt):
+        pytest.skip("gate checkpoint not committed")
+    params = convert.load_checkpoint(ckpt)
+    data = wavio.read_wav(reference_wav_path)
+    wav = (data.samples.mean(axis=0) / 32768.0).astype(np.float32)
+
+    cfg = dc.replace(DEFAULT_CONFIG, chunk_bucket=4)
+    pipe = SpeakerDiarizationPipeline(
+        cfg,
+        params=params,
+        pyannet_cfg=SMALL_PYANNET,
+        ecapa_cfg=SMALL_ECAPA,
+        seg_batch=4,
+        emb_batch=4,
+        device_clustering=False,
+    )
+    blocks = np.array_split(wav, 14)
+
+    def run(disable_freeze):
+        stream = StreamingDiarizer(pipe, emit_every=8, recluster_every=4)
+        if disable_freeze:
+            stream._advance_seam = lambda *a, **k: None
+        outs = []
+        for b in blocks:
+            ann = stream.feed(b)
+            outs.append(None if ann is None else str(ann))
+        outs.append(str(stream.flush()))
+        return outs, stream
+
+    frozen_outs, frozen_stream = run(disable_freeze=False)
+    plain_outs, _ = run(disable_freeze=True)
+    assert frozen_outs == plain_outs
+    # the freeze must have engaged (seam advanced, turns frozen)
+    assert frozen_stream._seam_cidx > 0
+    assert len(frozen_stream._frozen_turns) > 0
+    # and flush equals offline exactly
+    assert frozen_outs[-1] == str(pipe(wav))
