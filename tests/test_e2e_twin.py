@@ -474,3 +474,88 @@ def test_twin_reference_wav_gate_checkpoint(reference_wav_path):
         prod_ann.add(s, e, k)
     d = der(prod_ann, twin_ann)
     assert d < 0.05, f"twin vs production DER on the reference wav: {d:.4f}"
+
+
+@pytest.mark.slow
+def test_twin_full_published_scale():
+    """VERDICT r4 item 6: the twin-vs-production comparison at the REAL
+    published architecture sizes (pyannote/segmentation@2022.07 PyanNet —
+    SincNet 80/k251, 4x128 BiLSTM, 128-d linears; speechbrain
+    spkrec-ecapa-voxceleb ECAPA — 1024 channels, scale 8, MFA 3072,
+    fc->192) with random-but-shared full-scale weights on a >=30 s wav:
+    the float checklist at reference tolerances (rtol 1e-3 / atol 1e-4,
+    verifyEveryStepResult.py:119-124) and turn-for-turn equality, catching
+    numerics issues that only appear at real widths (the reference's own
+    export-parity discipline, segment/export2.py:96-101)."""
+    from pyannote_audio_speaker_diarization_cpp_tpu.models.ecapa import EcapaConfig
+    from pyannote_audio_speaker_diarization_cpp_tpu.models.pyannet import (
+        PyanNetConfig,
+    )
+
+    real_p, real_e = PyanNetConfig(), EcapaConfig()
+    rng = np.random.default_rng(7)
+    sd_seg = make_pyannote_pyannet_state_dict(rng, real_p)
+    sd_emb = make_speechbrain_ecapa_state_dict(rng, real_e)
+    wav = synth_wav(31.7)
+
+    params = {
+        "segmentation": convert.pyannet_from_pyannote(sd_seg, real_p),
+        "embedding": convert.ecapa_from_speechbrain(sd_emb, real_e),
+    }
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        chunk_bucket=4,
+        compute_dtype="float32",
+        transfer_dtype="float32",
+    )
+    pipe = SpeakerDiarizationPipeline(
+        cfg,
+        params=params,
+        seg_batch=4,
+        emb_batch=4,
+        precision=jax.lax.Precision.HIGHEST,
+        pyannet_cfg=real_p,
+        ecapa_cfg=real_e,
+    )
+    dump_p = DictDump()
+    annotation = run_with_dumps(pipe, wav, dump_p)
+    dump_t = DictDump()
+    twin_turns = TW.twin_diarize(
+        wav, sd_seg, sd_emb, real_p, real_e, DEFAULT_CONFIG.frontend, dump=dump_t
+    )
+
+    # float checklist at reference tolerances
+    compared = 0
+    for name in (
+        "segmentations",
+        "masks",
+        "imasks",
+        "signals",
+        "wav_lens",
+        "embeddings",
+        "filtered_embeddings",
+        "norm_embeddings",
+        "dist",
+    ):
+        if name not in dump_p or name not in dump_t:
+            continue
+        a = np.asarray(dump_p[name], np.float64)
+        b = np.asarray(dump_t[name], np.float64)
+        assert a.shape == b.shape, f"{name}: {a.shape} vs {b.shape}"
+        np.testing.assert_allclose(a, b, rtol=RTOL, atol=ATOL, err_msg=name)
+        compared += 1
+    assert compared >= 7, f"only {compared} names compared"
+
+    # turn-for-turn equality up to cluster renaming
+    prod_turns = [(t.start, t.end, t.label) for t in annotation.turns()]
+    assert len(prod_turns) == len(twin_turns)
+    for (ps, pe, _), (ts, te, _) in zip(sorted(prod_turns), sorted(twin_turns)):
+        assert ps == pytest.approx(ts, abs=1e-3)
+        assert pe == pytest.approx(te, abs=1e-3)
+    assert (
+        _label_bijection(
+            np.asarray([l for _, _, l in sorted(prod_turns)]),
+            np.asarray([l for _, _, l in sorted(twin_turns)]),
+        )
+        is not None
+    )
