@@ -194,6 +194,11 @@ def conv1d_gemm(
     """
     w = p["weight"]  # (O, I, k)
     k = w.shape[-1]
+    if k > 1 and (padding != "same" or k % 2 == 0):
+        raise ValueError(
+            "conv1d_gemm supports only odd-k 'same' geometry "
+            f"(got k={k}, padding={padding!r})"
+        )
     pad = (k - 1) * dilation // 2
     if k > 1:
         mode = "reflect" if pad_mode == "reflect" else "constant"

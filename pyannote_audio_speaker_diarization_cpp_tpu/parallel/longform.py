@@ -198,22 +198,13 @@ class LongFormDiarizer:
         if key is None:
             return False
         cap = key[3]
-        if cap is None and total_rows > p._UNCAPPED_DEVICE_ROWS:
+        if p._device_train_size(total_rows, cap) > p._UNCAPPED_DEVICE_ROWS:
+            # merge loop would exceed the affordable size (uncapped
+            # clusterers and large finite caps both route to host)
             return False
         if total_rows > self._DEVICE_CLU_MAX_ROWS:
             return False
-        cfg = p.config
-        return not any(
-            b is not None
-            for b in (
-                num_speakers,
-                min_speakers,
-                max_speakers,
-                cfg.num_speakers,
-                cfg.min_speakers,
-                cfg.max_speakers,
-            )
-        )
+        return p._no_speaker_bounds(num_speakers, min_speakers, max_speakers)
 
     # ------------------------------------------------------------------
 
@@ -406,7 +397,10 @@ class LongFormDiarizer:
             num_acc[gofs : gofs + take] += n_h[:take]
             den_acc[gofs : gofs + take] += d_h[:take]
             resident.append((shard, segs_dev, valid))
-            emb_handles.append((shard, emb_dev, ts_dev, inact_dev))
+            if use_devclu:
+                # only the fused stage 3 (and its fallback) needs the
+                # device handles; the host path already fetched everything
+                emb_handles.append((shard, emb_dev, ts_dev, inact_dev))
 
         # PIPELINED dispatch with a BOUNDED in-flight window: queue up to
         # ``max_inflight_shards`` shards' stage-1/2 + count-part dispatches

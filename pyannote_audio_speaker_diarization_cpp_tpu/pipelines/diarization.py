@@ -717,10 +717,35 @@ class SpeakerDiarizationPipeline:
                 self._stage3,
             )
 
-    # rows affordable by the merge loop when the clusterer disables the
-    # pyannote train-set cap (max_num_embeddings=None): the loop must then
-    # cluster EVERY row, so the device path only takes requests this small
+    # largest merge-loop size the fused device stage 3 accepts: the loop is
+    # O(T) iterations over a (T, T) matrix (docs/PERF.md: 15.3 ms at
+    # T=1024, 65+ ms by T=1536 in the round-4 measurements), so T beyond
+    # this loses to the host path's two tunnel round trips. T is the
+    # 128-padded train cap (or the row count when the cap is disabled).
     _UNCAPPED_DEVICE_ROWS = 1536
+
+    def _device_train_size(self, rows: int, cap) -> int:
+        """The static merge-loop size device_cluster would use."""
+        if cap is None:
+            return rows
+        return min(rows, -(-cap // 128) * 128)
+
+    def _no_speaker_bounds(self, num_speakers, min_speakers, max_speakers) -> bool:
+        """True when neither the call nor the config pins speaker counts
+        (explicit bounds require the host dendrogram search). Shared with
+        the long-form eligibility check (parallel/longform.py)."""
+        cfg = self.config
+        return not any(
+            b is not None
+            for b in (
+                num_speakers,
+                min_speakers,
+                max_speakers,
+                cfg.num_speakers,
+                cfg.min_speakers,
+                cfg.max_speakers,
+            )
+        )
 
     def _device_clu_key(self):
         """(threshold, min_cluster_size, k_max, train_cap) when on-device
@@ -751,21 +776,12 @@ class SpeakerDiarizationPipeline:
             return False
         key = self._device_clu_key()
         cap = key[3] if key is not None else None
-        if cap is None and rows > self._UNCAPPED_DEVICE_ROWS:
-            # uncapped semantics = cluster every row; only affordable small
+        if self._device_train_size(rows, cap) > self._UNCAPPED_DEVICE_ROWS:
+            # merge loop too large to beat the host path (uncapped
+            # clusterers must cluster every row; large finite caps size
+            # the loop at the cap — review r5)
             return False
-        cfg = self.config
-        return not any(
-            b is not None
-            for b in (
-                num_speakers,
-                min_speakers,
-                max_speakers,
-                cfg.num_speakers,
-                cfg.min_speakers,
-                cfg.max_speakers,
-            )
-        )
+        return self._no_speaker_bounds(num_speakers, min_speakers, max_speakers)
 
     def chunk_lattice(self, num_chunks: int) -> int:
         """Padded chunk count: the batch lattice keeps jit shapes static,

@@ -439,9 +439,9 @@ class StreamingDiarizer:
             )
             hard = np.asarray(hard)
             hard[self._inactive.view()[lo:hi]] = -2
-            if hard.max() >= 0 and int(hard.max()) + 1 > self._k_used:
-                self._k_used = int(hard.max()) + 1
-                self._invalidate_freeze()
+            # labels are argmaxes over the stored centroid rows, so
+            # hard.max() < _k_used (= the centroid count) always — K can
+            # only change at a full recluster
             self._fold_batch(idx, hard)
             self._folded_hard = (
                 hard
@@ -494,16 +494,20 @@ class StreamingDiarizer:
         if best is None:
             return
         s_i, e_i = best
-        # seam lands mid-silence; absolute times of the silence bounds
-        t_a = c_start + (self._seam_cidx + s_i) * fstep
+        # seam lands mid-silence
         new_cidx = self._seam_cidx + s_i + (e_i - s_i) // 2
         if new_cidx <= self._seam_cidx:
             return
-        # freeze turns entirely before the silence start (turn ends are
-        # frame-middle timestamps; anything ending at/before t_a can no
-        # longer change or merge forward across a >= collar gap)
+        # freeze turns ending before the SEAM TIME (mid-silence): the
+        # qualifying span is >= min_duration_off + 2 frames, so the seam
+        # sits >= mdo/2 (~0.3 s) past the last pre-silence turn end and
+        # before the first post-silence turn start for ANY act/count grid
+        # phase — comparing against the silence-START time instead broke
+        # for configs where turn-end timestamps (frame middles) land just
+        # after the count frame boundary (review r5)
+        t_seam = c_start + new_cidx * fstep
         for t in suffix_turns:
-            if t.end <= t_a + 1e-9:
+            if t.end <= t_seam:
                 self._frozen_turns.append((t.start, t.end, t.label))
         self._seam_cidx = new_cidx
         # the dia-grid seam index must PRESERVE the full decode's act<->count

@@ -152,7 +152,10 @@ def make_handler(service: DiarizationService, max_request_bytes: int = 256 << 20
                     raise ValueError("negative Content-Length")
             except (TypeError, ValueError):
                 # malformed header: answer 400 instead of dropping the
-                # connection with no HTTP response (round-4 advisor)
+                # connection with no HTTP response (round-4 advisor); the
+                # body length is unknown, so the keep-alive stream cannot
+                # be resynchronized — close it
+                self.close_connection = True
                 self._send(400, b'{"error": "bad Content-Length"}')
                 return
             if length > max_request_bytes:

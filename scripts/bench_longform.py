@@ -204,7 +204,9 @@ def bench_streaming(minutes: float = 20.0, block_s: float = 1.0, schedule: str =
 if __name__ == "__main__":
     if "--streaming" in sys.argv:
         i = sys.argv.index("--streaming")
-        minutes = float(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 20.0
+        minutes = 20.0
+        if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("--"):
+            minutes = float(sys.argv[i + 1])
         sched = "doubling" if "--doubling" in sys.argv else "fixed"
         bench_streaming(minutes, schedule=sched)
         raise SystemExit(0)

@@ -2,9 +2,9 @@
 (VERDICT r4 item 1: device stage-3 time at the raised row cap must beat
 the host path's two tunnel round trips, ~45 ms).
 
-Times the jitted device_cluster (lazy-NN merge loop + assignment,
-clustering/device.py) standalone at several row counts, amortized over
-back-to-back dispatches.
+Times the jitted device_cluster (train-capped maintained-matrix merge
+loop + assignment, clustering/device.py) standalone at several row
+counts, amortized over back-to-back dispatches.
 
 Usage: python scripts/profile_device_clustering.py [N_REPEAT]
 """

@@ -372,3 +372,25 @@ def test_collect_falls_back_when_num_large_zero(pipelines):
     td = _turns(ann)
     th = _turns(p_host(wav))
     assert [(s, e) for s, e, _ in td] == [(s, e) for s, e, _ in th]
+
+
+def test_large_finite_cap_takes_host_path():
+    """A clusterer with a large finite max_num_embeddings would size the
+    device merge loop at the cap — affordability is bounded by the
+    merge-loop size, not just the cap-is-None case (review r5)."""
+    from pyannote_audio_speaker_diarization_cpp_tpu.config import ClusteringConfig
+
+    p = make_tiny1s_pipeline(
+        clusterer=AgglomerativeClustering(
+            ClusteringConfig(), max_num_embeddings=5000
+        ),
+    )
+    assert not p._device_clu_eligible(4000, None, None, None)
+    assert p._device_clu_eligible(900, None, None, None)
+    p2 = make_tiny1s_pipeline(
+        clusterer=AgglomerativeClustering(
+            ClusteringConfig(), max_num_embeddings=None
+        ),
+    )
+    assert not p2._device_clu_eligible(4000, None, None, None)
+    assert p2._device_clu_eligible(1200, None, None, None)
