@@ -284,3 +284,26 @@ def test_frozen_prefix_decode_engages_and_is_exact(reference_wav_path):
     assert len(frozen_stream._frozen_turns) > 0
     # and flush equals offline exactly
     assert frozen_outs[-1] == str(pipe(wav))
+
+
+def test_doubling_recluster_schedule(tiny_pipeline):
+    """recluster_schedule='doubling': full reclusters run at exponentially
+    growing emission intervals (capped), flush still reclusters fully and
+    stays offline-exact."""
+    audio = _audio(14 * 16000, seed=41)
+    stream = StreamingDiarizer(
+        tiny_pipeline,
+        emit_every=1,
+        recluster_schedule="doubling",
+        recluster_max_interval=4,
+    )
+    for b in np.array_split(audio, 20):
+        stream.feed(b)
+    final = stream.flush()
+    rc = stream.recluster_emissions
+    assert rc[:4] == [0, 2, 6, 10]  # gaps 2, 4, 4 (doubling capped at 4)
+    # the final entry is flush's forced recluster (may be adjacent)
+    assert all(b - a >= 2 for a, b in zip(rc[:-1], rc[1:-1]))
+    assert str(final) == str(tiny_pipeline(audio))
+    with pytest.raises(ValueError):
+        StreamingDiarizer(tiny_pipeline, recluster_schedule="bogus")
