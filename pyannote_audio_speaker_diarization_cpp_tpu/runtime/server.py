@@ -9,12 +9,28 @@ compiled pipeline resident and serves requests over HTTP (stdlib only):
         [--port 8787] [--checkpoint DIR]
 
 Endpoints:
-  GET  /health            -> {"status": "ok", "requests": N}
+  GET  /health            -> {"status": "ok", "requests": N, "streams": M}
   POST /diarize           body: RIFF WAV bytes
        query params: num_speakers, min_speakers, max_speakers,
                      format=json|rttm (default json)
        -> {"turns": [{"start": s, "end": e, "speaker": "Speaker_k"}, ...],
            "audio_seconds": T, "wall_seconds": W}
+  POST /stream/open       query params: emit_every, recluster_every,
+                            schedule=fixed|doubling, num_speakers,
+                            min_speakers, max_speakers
+       -> {"stream_id": "..."}
+  POST /stream/feed?id=X  body: raw mono 16 kHz PCM samples —
+                            little-endian int16 (default) or f32
+                            (?format=f32)
+       -> {"emitted": bool, "turns": [...] | null, "stream_seconds": T}
+  POST /stream/close?id=X -> final flush: {"turns": [...],
+                            "stream_seconds": T} (session removed)
+
+Online sessions wrap pipelines.streaming.StreamingDiarizer — incremental
+emissions with the frozen-prefix decode, flush identical to the offline
+pipeline. Sessions are capped (--max-streams) and idle-evicted
+(--stream-ttl); each is serialized by its own lock, while different
+sessions and offline /diarize requests interleave freely.
 
 Concurrent requests PIPELINE on the chip: only the (few-ms) dispatch phase
 is serialized, so one request's transfers/host clustering overlap the
@@ -79,11 +95,20 @@ class DiarizationService:
     this bounds how long new requests can pile up behind it.
     """
 
-    def __init__(self, pipeline, admission_timeout: float = 30.0):
+    def __init__(
+        self,
+        pipeline,
+        admission_timeout: float = 30.0,
+        max_streams: int = 16,
+        stream_ttl: float = 600.0,
+    ):
         self.pipeline = pipeline
         self.admission_timeout = admission_timeout
         self._lock = threading.Lock()
         self.requests = 0
+        self.streams = StreamSessions(
+            pipeline, max_streams=max_streams, ttl=stream_ttl
+        )
 
     def diarize(self, wav_bytes: bytes, **bounds):
         from ..pipelines.diarization import StageTimings
@@ -109,6 +134,89 @@ class DiarizationService:
         return annotation, data.num_samples / data.sample_rate, wall
 
 
+class StreamLimit(Exception):
+    """Too many live streaming sessions (HTTP 429)."""
+
+
+class StreamSessions:
+    """Online diarization sessions over the shared pipeline.
+
+    Each session owns a StreamingDiarizer plus a lock (feeds on ONE
+    session are serialized; different sessions and offline requests
+    interleave — the jitted stage dispatches are thread-safe and the
+    per-session state is what needs guarding). Idle sessions are evicted
+    after ``ttl`` seconds, checked whenever a session is opened."""
+
+    def __init__(self, pipeline, max_streams: int = 16, ttl: float = 600.0):
+        self.pipeline = pipeline
+        self.max_streams = max_streams
+        self.ttl = ttl
+        self._lock = threading.Lock()
+        self._sessions: dict = {}
+        self._next_id = 0
+
+    def open(self, **kwargs) -> str:
+        from ..pipelines.streaming import StreamingDiarizer
+
+        stream = StreamingDiarizer(self.pipeline, **kwargs)
+        with self._lock:
+            now = time.monotonic()
+            for sid in [
+                s
+                for s, (_, _, last) in self._sessions.items()
+                if now - last > self.ttl
+            ]:
+                del self._sessions[sid]
+            if len(self._sessions) >= self.max_streams:
+                raise StreamLimit(
+                    f"{self.max_streams} live streams (close or wait for TTL)"
+                )
+            sid = f"s{self._next_id}"
+            self._next_id += 1
+            self._sessions[sid] = (stream, threading.Lock(), now)
+        return sid
+
+    def _get(self, sid: str):
+        with self._lock:
+            entry = self._sessions.get(sid)
+            if entry is None:
+                raise KeyError(sid)
+            stream, lock, _ = entry
+            self._sessions[sid] = (stream, lock, time.monotonic())
+        return stream, lock
+
+    def feed(self, sid: str, samples):
+        stream, lock = self._get(sid)
+        with lock:
+            ann = stream.feed(samples)
+            seconds = stream.total_samples / 16000.0
+        return ann, seconds
+
+    def close(self, sid: str):
+        stream, lock = self._get(sid)
+        with lock:
+            ann = stream.flush()
+            seconds = stream.total_samples / 16000.0
+        with self._lock:
+            self._sessions.pop(sid, None)
+        return ann, seconds
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._sessions)
+
+
+def _turns_json(annotation):
+    return [
+        {
+            "start": round(t.start, 3),
+            "end": round(t.end, 3),
+            "speaker": f"Speaker_{t.label}",
+        }
+        for t in annotation.turns()
+    ]
+
+
 def make_handler(service: DiarizationService, max_request_bytes: int = 256 << 20):
     class Handler(BaseHTTPRequestHandler):
         # socket read timeout: a client that stops sending mid-body cannot
@@ -130,7 +238,11 @@ def make_handler(service: DiarizationService, max_request_bytes: int = 256 << 20
                 self._send(
                     200,
                     json.dumps(
-                        {"status": "ok", "requests": service.requests}
+                        {
+                            "status": "ok",
+                            "requests": service.requests,
+                            "streams": len(service.streams),
+                        }
                     ).encode(),
                 )
             else:
@@ -138,7 +250,12 @@ def make_handler(service: DiarizationService, max_request_bytes: int = 256 << 20
 
         def do_POST(self):
             url = urlparse(self.path)
-            if url.path != "/diarize":
+            if url.path not in (
+                "/diarize",
+                "/stream/open",
+                "/stream/feed",
+                "/stream/close",
+            ):
                 self._send(404, b'{"error": "not found"}')
                 return
             query = parse_qs(url.query)
@@ -174,6 +291,9 @@ def make_handler(service: DiarizationService, max_request_bytes: int = 256 << 20
                 )
                 return
             body = self.rfile.read(length)
+            if url.path != "/diarize":
+                self._stream_request(url.path, query, body, q_int)
+                return
             try:
                 annotation, audio_s, wall_s = service.diarize(
                     body,
@@ -192,24 +312,85 @@ def make_handler(service: DiarizationService, max_request_bytes: int = 256 << 20
                     200, (annotation.to_rttm("stream") + "\n").encode(), "text/plain"
                 )
                 return
-            turns = [
-                {
-                    "start": round(t.start, 3),
-                    "end": round(t.end, 3),
-                    "speaker": f"Speaker_{t.label}",
-                }
-                for t in annotation.turns()
-            ]
             self._send(
                 200,
                 json.dumps(
                     {
-                        "turns": turns,
+                        "turns": _turns_json(annotation),
                         "audio_seconds": round(audio_s, 3),
                         "wall_seconds": round(wall_s, 4),
                     }
                 ).encode(),
             )
+
+        def _stream_request(self, path, query, body, q_int):
+            import numpy as np
+
+            if path == "/stream/open":
+                kwargs = {}
+                if "emit_every" in query:
+                    kwargs["emit_every"] = q_int("emit_every")
+                if "recluster_every" in query:
+                    kwargs["recluster_every"] = q_int("recluster_every")
+                if "schedule" in query:
+                    kwargs["recluster_schedule"] = query["schedule"][0]
+                for b in ("num_speakers", "min_speakers", "max_speakers"):
+                    if b in query:
+                        kwargs[b] = q_int(b)
+                try:
+                    sid = service.streams.open(**kwargs)
+                except StreamLimit as exc:
+                    self._send(429, json.dumps({"error": str(exc)}).encode())
+                    return
+                except (TypeError, ValueError) as exc:
+                    self._send(400, json.dumps({"error": str(exc)}).encode())
+                    return
+                self._send(200, json.dumps({"stream_id": sid}).encode())
+                return
+
+            sid = query.get("id", [None])[0]
+            if sid is None:
+                self._send(400, b'{"error": "missing id"}')
+                return
+            try:
+                if path == "/stream/feed":
+                    fmt = query.get("format", ["i16"])[0]
+                    if fmt == "i16":
+                        samples = (
+                            np.frombuffer(body, dtype="<i2").astype(np.float32)
+                            / 32768.0
+                        )
+                    elif fmt == "f32":
+                        samples = np.frombuffer(body, dtype="<f4")
+                    else:
+                        self._send(400, b'{"error": "format must be i16|f32"}')
+                        return
+                    ann, seconds = service.streams.feed(sid, samples)
+                    self._send(
+                        200,
+                        json.dumps(
+                            {
+                                "emitted": ann is not None,
+                                "turns": None if ann is None else _turns_json(ann),
+                                "stream_seconds": round(seconds, 3),
+                            }
+                        ).encode(),
+                    )
+                else:  # /stream/close
+                    ann, seconds = service.streams.close(sid)
+                    self._send(
+                        200,
+                        json.dumps(
+                            {
+                                "turns": _turns_json(ann),
+                                "stream_seconds": round(seconds, 3),
+                            }
+                        ).encode(),
+                    )
+            except KeyError:
+                self._send(404, b'{"error": "unknown stream id"}')
+            except Exception as exc:
+                self._send(400, json.dumps({"error": str(exc)}).encode())
 
     return Handler
 
@@ -256,13 +437,30 @@ def main(argv=None) -> int:
         help="pre-compile all chunk buckets up to this audio length before "
         "accepting requests (no first-request compile stall)",
     )
+    parser.add_argument(
+        "--max-streams",
+        type=int,
+        default=16,
+        help="cap on live /stream sessions (HTTP 429 beyond it)",
+    )
+    parser.add_argument(
+        "--stream-ttl",
+        type=float,
+        default=600.0,
+        help="seconds of inactivity before a /stream session is evicted",
+    )
     args = parser.parse_args(argv)
 
     pipeline = build_pipeline(args.checkpoint, args.mesh, args.seg_batch, args.emb_batch)
     if args.warmup > 0:
         warmed = pipeline.warmup(args.warmup)
         print(f"warmed {len(warmed)} chunk buckets (up to {args.warmup:.0f} s audio)")
-    service = DiarizationService(pipeline, admission_timeout=args.admission_timeout)
+    service = DiarizationService(
+        pipeline,
+        admission_timeout=args.admission_timeout,
+        max_streams=args.max_streams,
+        stream_ttl=args.stream_ttl,
+    )
     server = serve(
         service, args.host, args.port, max_request_bytes=args.max_request_mb << 20
     )

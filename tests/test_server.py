@@ -3,6 +3,7 @@
 import io
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -202,3 +203,88 @@ def test_concurrent_load_throughput_and_memory(server_url):
     # bounded memory: 6 requests of 3 s audio must not grow RSS by > 512 MB
     rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     assert (rss_after - rss_before) < 512 * 1024  # ru_maxrss is in KB on linux
+
+
+# ---------------------------------------------------------------------------
+# streaming endpoints (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _post(url, data=b""):
+    req = urllib.request.Request(url, data=data, method="POST")
+    with urllib.request.urlopen(req) as r:
+        return json.load(r)
+
+
+def test_stream_session_matches_offline(server_url, tiny1s_pipeline):
+    """open -> feed blocks -> close must equal the offline pipeline on the
+    concatenated audio (flush == offline, served)."""
+    rng = np.random.default_rng(50)
+    audio = (0.1 * rng.normal(size=int(6.5 * 16000))).astype(np.float32)
+    sid = _post(f"{server_url}/stream/open?emit_every=2")["stream_id"]
+    emitted = 0
+    for block in np.array_split(audio, 5):
+        body = _post(
+            f"{server_url}/stream/feed?id={sid}&format=f32",
+            block.astype("<f4").tobytes(),
+        )
+        if body["emitted"]:
+            emitted += 1
+            assert isinstance(body["turns"], list)
+    final = _post(f"{server_url}/stream/close?id={sid}")
+    assert emitted >= 1
+    offline = tiny1s_pipeline(audio)
+    want = [
+        {
+            "start": round(t.start, 3),
+            "end": round(t.end, 3),
+            "speaker": f"Speaker_{t.label}",
+        }
+        for t in offline.turns()
+    ]
+    # the served pipeline IS tiny1s_pipeline (device clustering on) while
+    # flush reclusters on host: compare boundaries, labels up to renaming
+    assert [(t["start"], t["end"]) for t in final["turns"]] == [
+        (t["start"], t["end"]) for t in want
+    ]
+    # closed session is gone
+    req = urllib.request.Request(
+        f"{server_url}/stream/feed?id={sid}", data=b"", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req)
+    assert exc.value.code == 404
+
+
+def test_stream_i16_format_and_health_count(server_url):
+    sid = _post(f"{server_url}/stream/open")["stream_id"]
+    with urllib.request.urlopen(f"{server_url}/health") as r:
+        assert json.load(r)["streams"] >= 1
+    samples = (np.random.default_rng(3).normal(size=16000) * 3000).astype("<i2")
+    body = _post(f"{server_url}/stream/feed?id={sid}", samples.tobytes())
+    assert body["stream_seconds"] == 1.0
+    _post(f"{server_url}/stream/close?id={sid}")
+
+
+def test_stream_limits_and_errors(tiny1s_pipeline):
+    from pyannote_audio_speaker_diarization_cpp_tpu.runtime.server import (
+        StreamLimit,
+        StreamSessions,
+    )
+
+    sessions = StreamSessions(tiny1s_pipeline, max_streams=2, ttl=1e9)
+    a, b = sessions.open(), sessions.open()
+    with pytest.raises(StreamLimit):
+        sessions.open()
+    sessions.close(a)
+    c = sessions.open(emit_every=4)  # capacity freed
+    assert len(sessions) == 2
+    with pytest.raises(KeyError):
+        sessions.feed("nope", np.zeros(10, np.float32))
+    # TTL eviction: zero TTL evicts everything at the next open
+    sessions.ttl = 0.0
+    import time as _t
+
+    _t.sleep(0.01)
+    d = sessions.open()
+    assert len(sessions) == 1  # b and c evicted, only d lives
