@@ -17,7 +17,7 @@ Conv1d default); BatchNorm runs in inference mode off running statistics.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

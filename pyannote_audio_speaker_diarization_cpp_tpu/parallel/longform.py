@@ -74,7 +74,6 @@ def _global_cluster_jit():
     return fn
 
 from ..core.annotation import Annotation
-from ..core.sliding_window import SlidingWindow
 from ..io import resample as rs
 from ..io import wav as wavio
 from ..models import pyannet as pyannet_mod

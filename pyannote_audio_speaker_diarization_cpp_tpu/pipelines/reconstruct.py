@@ -17,7 +17,6 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import SegmentationConfig
 from ..core.annotation import Annotation
 from ..core.segment import Segment
 from ..core.sliding_window import SlidingWindow

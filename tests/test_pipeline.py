@@ -294,3 +294,19 @@ def test_to_annotation_fast_path_equals_loop():
         # only triggered by 0.0)
         loop = rec.to_annotation(scores + 0.0, frames, 0.5, 0.500001, 0.0, 0.0)
         assert str(fast) == str(loop), scores[:10, 0]
+
+
+def test_pipeline_ecapa_layout_variants_match(tiny1s_pipeline):
+    """The nhc (channels-last) and gemm (shifted-dot) ECAPA trunk layouts
+    (docs/PERF.md round-5 stage-2 experiments) must produce the same turns
+    as the default trunk through the full pipeline."""
+    from _cfg import make_tiny1s_pipeline
+
+    rng = np.random.default_rng(61)
+    audio = (0.1 * rng.normal(size=4 * 16000 + 900)).astype(np.float32)
+    want = str(tiny1s_pipeline(audio))
+    for layout in ("nhc", "gemm"):
+        p = make_tiny1s_pipeline(ecapa_layout=layout)
+        assert str(p(audio)) == want, layout
+    with pytest.raises(ValueError):
+        make_tiny1s_pipeline(ecapa_layout="bogus")
